@@ -1,0 +1,140 @@
+"""Benchmark harness (driver contract).
+
+    python bench.py               one JSON line with headline + per-query secs
+    python bench.py --scaling     run the headline pipeline at 8 and 32 CPUs
+                                  in fresh processes; report throughputs +
+                                  scaling efficiency
+
+Input: $GRAFT_SF_DIR (default /root/testdata/sf0.1);
+CPUs: $RAY_GRAFT_CPUS (default 32).
+
+Headline: the flagship quality-filter pipeline (extract -> langid ->
+perplexity -> quality+scrub -> keep/drop) over a cc_pages corpus
+synthesized deterministically from the sf dir's documents table, plus a
+set of representative operator pipelines from __ray_entry__.queries().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = (
+    "lineitem_pricing",
+    "join_orders_customers",
+    "topk_orders",
+    "events_daily",
+    "word_freq_top20",
+    "exact_dedup",
+    "minhash_dedup",
+    "simhash",
+    "token_counts",
+    "knn_cosine",
+)
+
+
+def _consume(result) -> int:
+    """Execute a lazy result fully, streaming (no driver materialization)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, (pd.DataFrame, pa.Table)):
+        return len(result)
+    n = 0
+    for b in result.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from tiny_lingua_ray.models.train import ensure_models
+
+    ensure_models()  # exclude one-time model build from timings
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # headline: flagship pipeline over documents-derived cc_pages
+    t0 = time.time()
+    n_rows = _consume(qs["quality_filter_flagship"](SF_DIR))
+    headline = time.time() - t0
+
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(qs[name](SF_DIR))
+        per_query[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship_quality_filter_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "rows": n_rows,
+        "docs_per_sec": round(n_rows / headline, 1),
+        "queries": per_query,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline job at 8 and 32 CPUs in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(8)  # warm page cache + model/table caches (untimed)
+    lo = run(8)
+    hi = run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

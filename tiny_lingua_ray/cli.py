@@ -1,0 +1,112 @@
+"""CLI entry points (own their Ray session, like the reference's app/App.kt).
+
+    python -m tiny_lingua_ray.cli detect --text "bonjour le monde"
+    python -m tiny_lingua_ray.cli run --input <parquet dir/file> --out /tmp/qf
+    python -m tiny_lingua_ray.cli gen-corpus --rows 10000 --out /tmp/cc
+    python -m tiny_lingua_ray.cli build-models
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            **kwargs,
+        )
+    return ray
+
+
+def cmd_detect(args) -> int:
+    from tiny_lingua_ray.detector import LinguaDetector
+    from tiny_lingua_ray.models.loader import load_dict_models
+    from tiny_lingua_ray.models.train import ensure_models
+
+    mdir = ensure_models(use_ray=False)
+    det = LinguaDetector(load_dict_models(mdir))
+    if args.text:
+        texts = [args.text]
+    else:
+        texts = [ln.rstrip("\n") for ln in sys.stdin]
+    for t in texts:
+        conf = det.confidence_values(t)
+        lang = det._language_from_confidences(conf)
+        top = [(l, round(v, 4)) for l, v in conf[:3]]
+        print(json.dumps({"text": t, "lang": lang, "top": top}))
+    return 0
+
+
+def cmd_run(args) -> int:
+    ray = _ray_init(args.num_cpus)
+    from tiny_lingua_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        run_quality_filter,
+    )
+
+    cfg = QualityFilterConfig(num_partitions=args.partitions)
+    summary = run_quality_filter(
+        args.input, args.out, cfg, resume=not args.no_resume
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+def cmd_gen_corpus(args) -> int:
+    from tiny_lingua_ray.sources.cc_pages import build_cc_pages
+
+    out = build_cc_pages(args.out, total_rows=args.rows, use_ray=False)
+    print(str(out))
+    return 0
+
+
+def cmd_build_models(args) -> int:
+    from tiny_lingua_ray.models.train import ensure_models
+
+    print(str(ensure_models(use_ray=False)))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tiny_lingua_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("detect", help="detect language of text/stdin lines")
+    d.add_argument("--text")
+    d.set_defaults(fn=cmd_detect)
+
+    r = sub.add_parser("run", help="run the quality-filter pipeline")
+    r.add_argument("--input", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--partitions", type=int, default=64)
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.add_argument("--no-resume", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    g = sub.add_parser("gen-corpus", help="generate synthetic cc_pages")
+    g.add_argument("--rows", type=int, default=10_000)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_gen_corpus)
+
+    b = sub.add_parser("build-models", help="build n-gram model tables")
+    b.set_defaults(fn=cmd_build_models)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

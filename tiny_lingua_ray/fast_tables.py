@@ -34,6 +34,31 @@ _script_table: np.ndarray | None = None
 _letter_table: np.ndarray | None = None
 _special_table: np.ndarray | None = None
 
+# Disk cache: building letter_table scans 1.1M codepoints through
+# unicodedata (seconds); every Ray actor pays it. Cache once per machine.
+_CACHE_FILE = "/tmp/tlr_models/unicode_tables_v1.npz"
+
+
+def _load_cache() -> dict | None:
+    import os
+
+    if os.path.exists(_CACHE_FILE):
+        try:
+            return dict(np.load(_CACHE_FILE, allow_pickle=False))
+        except (OSError, ValueError):
+            return None
+    return None
+
+
+def _save_cache(**arrays) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(_CACHE_FILE), exist_ok=True)
+    tmp = f"{_CACHE_FILE}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, _CACHE_FILE)
+
 
 def script_id_table() -> np.ndarray:
     """uint8[0x110000]: codepoint -> script id (0 = none)."""
@@ -50,12 +75,17 @@ def letter_table() -> np.ndarray:
     """bool[0x110000]: codepoint -> Unicode category L*."""
     global _letter_table
     if _letter_table is None:
+        cached = _load_cache()
+        if cached is not None and "letter" in cached:
+            _letter_table = cached["letter"]
+            return _letter_table
         t = np.zeros(_MAX_CP, dtype=bool)
         cat = unicodedata.category
         for cp in range(_MAX_CP):
             if cat(chr(cp)).startswith("L"):
                 t[cp] = True
         _letter_table = t
+        _save_cache(letter=t)
     return _letter_table
 
 

@@ -55,28 +55,22 @@ def letter_run_pattern():
     global _LETTER_RUN_RE
     if _LETTER_RUN_RE is None:
         import re
-        import sys
-        import unicodedata
 
-        ranges = []
-        start = None
-        for cp in range(sys.maxunicode + 1):
-            if unicodedata.category(chr(cp)).startswith("L"):
-                if start is None:
-                    start = cp
-            else:
-                if start is not None:
-                    ranges.append((start, cp - 1))
-                    start = None
-        if start is not None:
-            ranges.append((start, sys.maxunicode))
+        from tiny_lingua_ray.fast_tables import letter_table
+
+        # derive L* ranges from the (disk-cached) boolean table — numpy
+        # edge detection instead of a 1.1M-codepoint unicodedata scan
+        lt = letter_table()
+        edges = np.flatnonzero(np.diff(lt.astype(np.int8)))
+        starts = edges[::2] + 1
+        ends = edges[1::2]
         cls = "".join(
             (
                 re.escape(chr(a))
                 if a == b
                 else re.escape(chr(a)) + "-" + re.escape(chr(b))
             )
-            for a, b in ranges
+            for a, b in zip(starts.tolist(), ends.tolist())
         )
         _LETTER_RUN_RE = re.compile(f"[{cls}]+")
     return _LETTER_RUN_RE

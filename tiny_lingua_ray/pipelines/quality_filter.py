@@ -1,0 +1,303 @@
+"""Flagship pipeline: the north-rule web-text quality filter.
+
+    read_parquet(cc_pages)                                   [stream]
+      -> fused stateless map_batches: extract html->text, verify
+         byte-identity per url, assign part_id=hash(url)%K,
+         filter already-completed partitions (resume)
+      -> map_batches(LangIdScorer, actor pool)               [stateful]
+      -> map_batches(PerplexityScorer, actor pool)           [stateful]
+      -> fused stateless map_batches: quality rules + PII/toxicity scrub
+         + keep/drop decision
+      -> write_parquet(out/data, partition_cols=["part_id"]) [resumable]
+      -> per-partition metrics + lineage manifests
+
+Reference lifecycle parity: SURVEY.md §3.4.  The per-record semantics of
+the langid stage reproduce api/LanguageDetector.kt:221-286.
+
+Scale notes: stateless stages are task pools (elastic); the two model
+stages are actor pools whose packed models are shipped once per node via
+a ``ray.put`` ObjectRef; the only wide operation is the final partitioned
+write plus a small metrics groupby over the (tiny) output projection.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+
+from tiny_lingua_ray.languages import ALL_ISO1
+from tiny_lingua_ray.stages.extract import extract_batch
+from tiny_lingua_ray.stages.langid import LangIdScorer
+from tiny_lingua_ray.stages.perplexity import PerplexityScorer
+from tiny_lingua_ray.stages.quality import quality_batch
+from tiny_lingua_ray.stages.scrub import scrub_batch
+from tiny_lingua_ray.state.checkpoint import (
+    clear_incomplete_partition_data,
+    completed_partitions,
+    partition_ids,
+    write_manifest,
+)
+
+DROP_NONE = ""
+DROP_EXTRACT = "extract_mismatch"
+DROP_LANG = "lang_unknown"
+DROP_LANG_NOT_ALLOWED = "lang_not_allowed"
+DROP_QUALITY = "quality"
+DROP_PERPLEXITY = "perplexity"
+
+
+@dataclass
+class QualityFilterConfig:
+    languages: tuple[str, ...] = ALL_ISO1
+    allowed_langs: tuple[str, ...] | None = None  # None = any detected lang
+    minimum_relative_distance: float = 0.0
+    low_accuracy: bool = False
+    max_perplexity: float = 1000.0
+    quality_drop_mask: int = (1 << 10) - 1  # all quality flags drop
+    num_partitions: int = 64
+    batch_size: int = 1024
+    langid_concurrency: int | tuple[int, int] = 4
+    perplexity_concurrency: int | tuple[int, int] = 2
+
+    def config_hash(self) -> str:
+        payload = json.dumps(
+            {
+                "languages": self.languages,
+                "allowed": self.allowed_langs,
+                "mrd": self.minimum_relative_distance,
+                "low": self.low_accuracy,
+                "maxpp": self.max_perplexity,
+                "qmask": self.quality_drop_mask,
+                "K": self.num_partitions,
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _prepare_batch(
+    batch: pa.Table, num_partitions: int, skip: frozenset[int]
+) -> pa.Table:
+    """Fused: extract + byte-identity check + part_id + resume filter."""
+    batch = extract_batch(batch, drop_html=True)
+    urls = batch.column("url").to_pylist()
+    pids = partition_ids(urls, num_partitions)
+    ok = pa.array(
+        np.array(
+            [
+                a == b
+                for a, b in zip(
+                    batch.column("extracted_text").to_pylist(),
+                    batch.column("text").to_pylist(),
+                )
+            ]
+        )
+    )
+    batch = batch.append_column("part_id", pa.array(pids)).append_column(
+        "extract_ok", ok
+    )
+    batch = batch.drop_columns(["text"])
+    if skip:
+        mask = ~np.isin(pids, np.fromiter(skip, dtype=np.int64))
+        batch = batch.filter(pa.array(mask))
+    return batch
+
+
+def _finalize_batch(batch: pa.Table, cfg: QualityFilterConfig) -> pa.Table:
+    """Fused: quality rules + scrub + keep/drop decision + projection."""
+    batch = quality_batch(batch, text_column="extracted_text")
+    batch = scrub_batch(batch, text_column="extracted_text")
+
+    R = batch.num_rows
+    pred = batch.column("pred_lang").to_pylist()
+    extract_ok = np.asarray(batch.column("extract_ok").to_pylist(), dtype=bool)
+    qflags = batch.column("quality_flags").to_numpy()
+    pp = batch.column("perplexity").to_numpy()
+
+    allowed = frozenset(cfg.allowed_langs) if cfg.allowed_langs else None
+    keep = np.ones(R, dtype=bool)
+    reason = np.full(R, DROP_NONE, dtype=object)
+    for r in range(R):
+        if not extract_ok[r]:
+            keep[r], reason[r] = False, DROP_EXTRACT
+        elif pred[r] == "unknown":
+            keep[r], reason[r] = False, DROP_LANG
+        elif allowed is not None and pred[r] not in allowed:
+            keep[r], reason[r] = False, DROP_LANG_NOT_ALLOWED
+        elif qflags[r] & cfg.quality_drop_mask:
+            keep[r], reason[r] = False, DROP_QUALITY
+        elif not np.isnan(pp[r]) and pp[r] > cfg.max_perplexity:
+            keep[r], reason[r] = False, DROP_PERPLEXITY
+
+    batch = batch.append_column("keep", pa.array(keep)).append_column(
+        "drop_reason", pa.array(reason.tolist(), pa.string())
+    )
+    return batch.select(
+        [
+            "url",
+            "warc_ts",
+            "part_id",
+            "lang",
+            "pred_lang",
+            "lang_margin",
+            "lang_path",
+            "perplexity",
+            "quality_flags",
+            "pii_count",
+            "tox_count",
+            "keep",
+            "drop_reason",
+            "text_scrubbed",
+        ]
+    )
+
+
+def quality_filter_dataset(
+    ds,
+    cfg: QualityFilterConfig | None = None,
+    models_ref=None,
+    skip_partitions: frozenset[int] = frozenset(),
+):
+    """Compose the full pipeline onto ``ds`` (lazy; no sinks, no ray.init)."""
+    cfg = cfg or QualityFilterConfig()
+
+    if models_ref is None:
+        try:
+            import ray
+
+            if ray.is_initialized():
+                from tiny_lingua_ray.models.loader import load_packed_models
+                from tiny_lingua_ray.models.train import (
+                    default_models_dir,
+                    ensure_models,
+                )
+
+                mdir = ensure_models(languages=cfg.languages)
+                models_ref = ray.put(load_packed_models(mdir, cfg.languages))
+        except ImportError:
+            pass
+
+    scorer_kwargs: dict = {
+        "languages": cfg.languages,
+        "minimum_relative_distance": cfg.minimum_relative_distance,
+        "low_accuracy": cfg.low_accuracy,
+        "text_column": "extracted_text",
+    }
+    pp_kwargs: dict = {
+        "languages": cfg.languages,
+        "text_column": "extracted_text",
+        "lang_column": "pred_lang",
+    }
+    if models_ref is not None:
+        scorer_kwargs["models_ref"] = models_ref
+        pp_kwargs["models_ref"] = models_ref
+
+    ds = ds.map_batches(
+        _prepare_batch,
+        fn_kwargs={
+            "num_partitions": cfg.num_partitions,
+            "skip": skip_partitions,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+    ds = ds.map_batches(
+        LangIdScorer,
+        fn_constructor_kwargs=scorer_kwargs,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.langid_concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        PerplexityScorer,
+        fn_constructor_kwargs=pp_kwargs,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.perplexity_concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        _finalize_batch,
+        fn_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+    return ds
+
+
+def run_quality_filter(
+    input_path: str | Path,
+    out_dir: str | Path,
+    cfg: QualityFilterConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Execute with the resumable partitioned sink; returns summary metrics."""
+    import ray.data as rd
+
+    cfg = cfg or QualityFilterConfig()
+    out = Path(out_dir)
+    t0 = time.time()
+
+    done = (
+        completed_partitions(out, cfg.num_partitions) if resume else set()
+    )
+    if not resume:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+    clear_incomplete_partition_data(out, cfg.num_partitions)
+
+    ds = rd.read_parquet(str(input_path))
+    result = quality_filter_dataset(
+        ds, cfg, skip_partitions=frozenset(done)
+    )
+    result.write_parquet(str(out / "data"), partition_cols=["part_id"])
+
+    # per-partition metrics over the (slim) freshly-written output
+    new_parts = sorted(set(range(cfg.num_partitions)) - done)
+    lineage = {
+        "input": str(input_path),
+        "config": cfg.config_hash(),
+        "written_at": time.time(),
+    }
+    # Distributed aggregate over the slim projection; the grouped result is
+    # tiny (<= K x reasons rows) so to_pandas() is safe at any input scale.
+    metrics_ds = rd.read_parquet(
+        str(out / "data"), columns=["part_id", "keep", "drop_reason"]
+    )
+    agg = (
+        metrics_ds.groupby(["part_id", "drop_reason"])
+        .count()
+        .to_pandas()
+    )
+    # hive-partition values read back as strings; normalize to int
+    agg["part_id"] = agg["part_id"].astype(int)
+    summary = {"rows": 0, "kept": 0, "partitions": cfg.num_partitions}
+    for k in new_parts:
+        g = agg[agg["part_id"] == k]
+        rows = int(g["count()"].sum())
+        kept = int(g.loc[g["drop_reason"] == DROP_NONE, "count()"].sum())
+        m = {
+            "rows": rows,
+            "kept": kept,
+            "drop_reasons": {
+                str(r): int(c)
+                for r, c in zip(g["drop_reason"], g["count()"])
+                if r != DROP_NONE
+            },
+        }
+        write_manifest(out, k, m, lineage)
+    summary["rows"] = int(agg["count()"].sum())
+    summary["kept"] = int(
+        agg.loc[agg["drop_reason"] == DROP_NONE, "count()"].sum()
+    )
+    summary["elapsed_sec"] = time.time() - t0
+    summary["skipped_partitions"] = len(done)
+    return summary

@@ -1,0 +1,620 @@
+"""Query implementations for the driver contract (__ray_entry__.py).
+
+Each query is a Ray-Data-first pipeline over the driver tables at
+``sf_dir`` plus, for most, a DuckDB-equivalent SQL oracle (ORACLE dict).
+Column names match the SQL exactly (driver hashes columns by name).
+Floats are rounded identically on both sides.
+
+Scale idioms: partial aggregation inside map_batches before any groupby,
+broadcast small sides (ray.put) instead of shuffle joins, read-time column
+pruning, top-k via sort+limit on pre-reduced partials.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with map-side partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            sum_disc=("l_discount", "sum"),
+            n_rows=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_price"] = out["sum_price"].round(2)
+    out["avg_disc"] = (out["sum_disc"] / out["n_rows"]).round(6)
+    return out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "avg_disc", "n_rows"]
+    ]
+
+
+def q_filter_project_part(sf_dir: str):
+    """Read-time pruning + vectorized filter."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_size", "p_retailprice"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["p_size"], 40)).select(
+            ["p_partkey", "p_name", "p_retailprice"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_join_orders_customers(sf_dir: str):
+    """Broadcast-hash join: customer (small) shipped once via ray.put."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(lookup)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_orderkey", "size"),
+            sum_total=("o_totalprice", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(join_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_total", alias_name="sum_total"),
+        )
+        .to_pandas()
+    )
+    out["sum_total"] = out["sum_total"].round(2)
+    return out
+
+
+def q_topk_orders(sf_dir: str):
+    """Global top-10 by price (sort+limit; ties broken by key)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(10)
+
+
+def q_distinct_users_per_event(sf_dir: str):
+    """COUNT(DISTINCT ...) as two-level groupby (no driver-side set)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return (
+        ds.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+def q_events_daily(sf_dir: str):
+    """Per (event_type, day) count + sum(value): timestamp kernels + partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": day,
+                "value": batch["value"],
+            }
+        )
+        df = t.to_pandas()
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Documents: text ops
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _read(sf_dir, "documents", columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+        .to_pandas()
+    )
+    out["avg_chars"] = (out["sum_chars"] / out["n_docs"]).round(6)
+    return out
+
+
+def q_clean_text(sf_dir: str):
+    """M1 cleaning per doc (LanguageDetector.kt:310-318)."""
+    from tiny_lingua_ray.detector import clean_up_input_text
+
+    def clean(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "clean_text": pa.array(
+                    [clean_up_input_text(t or "") for t in texts], pa.string()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        clean, batch_format="pyarrow"
+    )
+
+
+def q_token_counts(sf_dir: str):
+    from tiny_lingua_ray.stages.textstats import token_count_batch
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens_ws"])
+    )
+
+
+def q_word_freq_top20(sf_dir: str):
+    """Corpus-wide word frequency: per-batch Counter partials -> groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update((t or "").lower().split(" "))
+        c.pop("", None)
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out = out.sort_values(["cnt", "word"], ascending=[False, True], ignore_index=True)
+    return out.head(20)
+
+
+def q_exact_dedup(sf_dir: str):
+    from tiny_lingua_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def q_mean_word_len(sf_dir: str):
+    """Gopher-style per-doc metric, SQL-expressible subset."""
+
+    def mwl(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_words = np.zeros(len(texts), dtype=np.int64)
+        mean_wl = np.zeros(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            words = [w for w in (t or "").split(" ") if w]
+            n_words[i] = len(words)
+            if words:
+                mean_wl[i] = sum(map(len, words)) / len(words)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words),
+                "mean_word_len": pa.array(np.round(mean_wl, 6)),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        mwl, batch_format="pyarrow"
+    )
+
+
+def q_pii_scrub(sf_dir: str):
+    from tiny_lingua_ray.stages.scrub import scrub_batch
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(scrub_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "text_scrubbed"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based (rows-only checks; no SQL oracle)
+# ---------------------------------------------------------------------------
+
+def q_langid(sf_dir: str):
+    from tiny_lingua_ray.stages.langid import LangIdScorer
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            LangIdScorer,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+            num_cpus=1,
+        )
+        .select_columns(["doc_id", "pred_lang", "lang_path"])
+    )
+
+
+def q_perplexity(sf_dir: str):
+    from tiny_lingua_ray.stages.langid import LangIdScorer
+    from tiny_lingua_ray.stages.perplexity import PerplexityScorer
+
+    def round_pp(batch: pa.Table) -> pa.Table:
+        pp = np.round(batch.column("perplexity").to_numpy(zero_copy_only=False), 4)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "perplexity": pa.array(pp)}
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            LangIdScorer,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+            num_cpus=1,
+        )
+        .map_batches(
+            PerplexityScorer,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+            num_cpus=1,
+        )
+        .map_batches(round_pp, batch_format="pyarrow")
+    )
+
+
+def q_quality_flags(sf_dir: str):
+    from tiny_lingua_ray.stages.quality import quality_batch
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(quality_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "quality_flags", "stopword_hits"])
+    )
+
+
+def q_minhash_dedup(sf_dir: str):
+    from tiny_lingua_ray.stages.dedup import minhash_lsh_candidates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds)
+
+
+def q_simhash(sf_dir: str):
+    from tiny_lingua_ray.stages.dedup import simhash_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from tiny_lingua_ray.stages.textstats import fingerprint_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """LSH candidates verified with exact n-gram Jaccard >= 0.8."""
+    import ray
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.dedup import jaccard, minhash_lsh_candidates
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = minhash_lsh_candidates(docs).to_pandas()
+    if len(cands) == 0:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    # broadcast the candidate texts (small: only docs appearing in pairs)
+    need = set(cands["id_a"]) | set(cands["id_b"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist())
+        return batch.filter(pa.array(np.isin(ids, list(need))))
+
+    texts = docs.map_batches(pick, batch_format="pyarrow").to_pandas()
+    tmap = dict(zip(texts["doc_id"], texts["text"]))
+    out = []
+    for a, b in zip(cands["id_a"], cands["id_b"]):
+        j = jaccard(tmap.get(a, ""), tmap.get(b, ""))
+        if j >= 0.8:
+            out.append((int(a), int(b), round(j, 6)))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+
+
+def q_knn_cosine(sf_dir: str):
+    from tiny_lingua_ray.stages.similarity import knn_brute_force
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_brute_force(ds, query_ids=[0, 1, 2, 3, 4], k=5)
+    out["cosine"] = out["cosine"].round(4)
+    return out[["query_id", "neighbor_id", "cosine", "rank"]]
+
+
+def q_embedding_label_stats(sf_dir: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        M = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        df = pd.DataFrame({"label": labels, "norm": norms})
+        g = df.groupby("label", as_index=False).agg(
+            n_vecs=("norm", "size"), sum_norm=("norm", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "embeddings", columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("sum_norm", alias_name="sum_norm"),
+        )
+        .to_pandas()
+    )
+    out["avg_norm"] = (out["sum_norm"] / out["n_vecs"]).round(4)
+    return out[["label", "n_vecs", "avg_norm"]]
+
+
+def q_quality_filter_flagship(sf_dir: str):
+    """The flagship pipeline over cc_pages synthesized from documents."""
+    from tiny_lingua_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        quality_filter_dataset,
+    )
+    from tiny_lingua_ray.sources.cc_pages import HTML_PREFIX, HTML_SUFFIX
+
+    def to_cc(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"https://docs.example/{i}" for i in ids], pa.string()
+                ),
+                "warc_ts": pa.array(
+                    np.zeros(len(ids), dtype="datetime64[us]")
+                ),
+                "html": pa.array(
+                    [
+                        HTML_PREFIX + (t or "").encode("utf-8") + HTML_SUFFIX
+                        for t in texts
+                    ],
+                    pa.binary(),
+                ),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["" for _ in ids], pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_cc, batch_format="pyarrow"
+    )
+    cfg = QualityFilterConfig(num_partitions=16, langid_concurrency=2,
+                              perplexity_concurrency=2)
+    return quality_filter_dataset(ds, cfg)
+
+
+QUERIES = {
+    "lineitem_pricing": q_lineitem_pricing,
+    "filter_project_part": q_filter_project_part,
+    "join_orders_customers": q_join_orders_customers,
+    "topk_orders": q_topk_orders,
+    "distinct_users_per_event": q_distinct_users_per_event,
+    "events_daily": q_events_daily,
+    "doc_stats": q_doc_stats,
+    "clean_text": q_clean_text,
+    "token_counts": q_token_counts,
+    "word_freq_top20": q_word_freq_top20,
+    "exact_dedup": q_exact_dedup,
+    "mean_word_len": q_mean_word_len,
+    "pii_scrub": q_pii_scrub,
+    "langid": q_langid,
+    "perplexity": q_perplexity,
+    "quality_flags": q_quality_flags,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "fingerprint": q_fingerprint,
+    "jaccard_pairs": q_jaccard_pairs,
+    "knn_cosine": q_knn_cosine,
+    "embedding_label_stats": q_embedding_label_stats,
+    "quality_filter_flagship": q_quality_filter_flagship,
+}
+
+
+ORACLE = {
+    "lineitem_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "filter_project_part": """
+        SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_size > 40
+    """,
+    "join_orders_customers": """
+        SELECT c.c_mktsegment AS c_mktsegment,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS sum_total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
+    """,
+    "distinct_users_per_event": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "events_daily": """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+    "doc_stats": """
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+               ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "clean_text": r"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(lower(trim(text)), '[\pN\pP]', '', 'g'),
+                 '[ \t\n\x0b\f\r]+', ' ', 'g') AS clean_text
+        FROM documents
+    """,
+    "token_counts": r"""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END AS n_tokens_ws
+        FROM documents
+    """,
+    "word_freq_top20": """
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20
+    """,
+    "exact_dedup": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        FROM documents GROUP BY text
+    """,
+    "mean_word_len": """
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+               CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) = 0
+                    THEN 0.0
+                    ELSE ROUND(
+                      list_sum(list_transform(
+                        list_filter(string_split(text, ' '), w -> w <> ''),
+                        w -> len(w))) * 1.0
+                      / len(list_filter(string_split(text, ' '), w -> w <> '')), 6)
+               END AS mean_word_len
+        FROM documents
+    """,
+    "pii_scrub": r"""
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+              '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+              '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '<CARD>', 'g'),
+              '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text_scrubbed
+        FROM documents
+    """,
+    "knn_cosine": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        sims AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) AS cos
+          FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM sims)
+        SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+    """,
+    "embedding_label_stats": """
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(SUM(sqrt(list_sum(list_transform(embedding, x -> x * x))))
+                     / COUNT(*), 4) AS avg_norm
+        FROM embeddings GROUP BY label
+    """,
+}

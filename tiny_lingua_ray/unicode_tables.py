@@ -156,12 +156,33 @@ _DELETE_TABLE: dict[int, None] | None = None
 
 
 def _build_delete_table() -> dict[int, None]:
-    table: dict[int, None] = {}
-    for cp in range(sys.maxunicode + 1):
-        cat = unicodedata.category(chr(cp))
-        if cat[0] in ("N", "P"):
-            table[cp] = None
-    return table
+    # cache the N*/P* codepoint list on disk (full-range unicodedata scans
+    # cost seconds and every Ray worker process would pay them)
+    import os
+
+    import numpy as np
+
+    cache = "/tmp/tlr_models/np_codepoints_v1.npy"
+    if os.path.exists(cache):
+        try:
+            cps = np.load(cache)
+            return dict.fromkeys(cps.tolist())
+        except (OSError, ValueError):
+            pass
+    cps_list = [
+        cp
+        for cp in range(sys.maxunicode + 1)
+        if unicodedata.category(chr(cp))[0] in ("N", "P")
+    ]
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = f"{cache}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, np.asarray(cps_list, dtype=np.int64))
+        os.replace(tmp, cache)
+    except OSError:
+        pass
+    return dict.fromkeys(cps_list)
 
 
 def delete_numbers_and_punct(text: str) -> str:
