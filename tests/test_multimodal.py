@@ -1,0 +1,79 @@
+"""Multimodal stage tests — RAW codecs + numpy feature extraction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tiny_lingua_ray.sources.media import make_media_table
+from tiny_lingua_ray.stages.multimodal import (
+    AudioFeatures,
+    ImageFeatures,
+    decode_audio,
+    decode_image,
+    dhash64,
+    encode_raw_audio,
+    encode_raw_image,
+    resize_block_mean,
+)
+
+
+def test_raw_image_roundtrip():
+    img = np.arange(24 * 32 * 3, dtype=np.uint8).reshape(24, 32, 3)
+    assert (decode_image(encode_raw_image(img)) == img).all()
+
+
+def test_real_codec_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 not actually decodable jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF fake wav")
+
+
+def test_resize_block_mean_constant():
+    img = np.full((16, 16, 3), 7, dtype=np.uint8)
+    out = resize_block_mean(img, 4, 4)
+    assert out.shape == (4, 4, 3)
+    assert np.allclose(out, 7.0)
+
+
+def test_dhash_similar_images_close():
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    b = a.copy()
+    b[0, 0] = 255 - b[0, 0]  # tiny change
+    c = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    ham_ab = bin(dhash64(a) ^ dhash64(b)).count("1")
+    ham_ac = bin(dhash64(a) ^ dhash64(c)).count("1")
+    assert ham_ab <= ham_ac
+
+
+def test_image_features_stage():
+    t = make_media_table(8)
+    imgs = t.filter(
+        np.array([k == "image" for k in t.column("kind").to_pylist()])
+    )
+    out = ImageFeatures()(imgs)
+    assert "payload" not in out.column_names
+    assert out.column("img_width").to_pylist() == imgs.column(
+        "meta_width"
+    ).to_pylist()
+    assert all(0 <= v <= 255 for v in out.column("mean_r").to_pylist())
+
+
+def test_audio_features_stage():
+    t = make_media_table(8)
+    auds = t.filter(
+        np.array([k == "audio" for k in t.column("kind").to_pylist()])
+    )
+    out = AudioFeatures(frame_sec=0.1)(auds)
+    durs = out.column("duration_sec").to_pylist()
+    frames = out.column("n_frames").to_pylist()
+    assert all(d > 0 for d in durs)
+    # frame sampling: n_frames == ceil(duration / frame_sec)
+    for d, f in zip(durs, frames):
+        assert f == pytest.approx(np.ceil(d / 0.1), abs=1)
+
+
+def test_media_table_deterministic():
+    assert make_media_table(6).equals(make_media_table(6))

@@ -1,0 +1,160 @@
+"""End-to-end pipeline tests (Ray session from conftest)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyarrow.dataset as pds
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cc_dir(tmp_path_factory):
+    from tiny_lingua_ray.sources.cc_pages import build_cc_pages
+
+    d = tmp_path_factory.mktemp("cc")
+    return build_cc_pages(d, total_rows=600, rows_per_shard=300, use_ray=False)
+
+
+def test_quality_filter_end_to_end(ray_session, models_dir, cc_dir, tmp_path):
+    from tiny_lingua_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        run_quality_filter,
+    )
+
+    out = tmp_path / "qf"
+    cfg = QualityFilterConfig(
+        num_partitions=8, langid_concurrency=2, batch_size=256
+    )
+    summary = run_quality_filter(cc_dir, out, cfg)
+    assert summary["rows"] == 600
+    assert 0 < summary["kept"] < 600
+
+    # manifests: every partition, rows sum to total
+    manifests = sorted((out / "manifest").glob("part-*.json"))
+    assert len(manifests) == 8
+    total = sum(json.loads(m.read_text())["metrics"]["rows"] for m in manifests)
+    assert total == 600
+
+    # output schema contains the decision + scrubbed text
+    t = pds.dataset(str(out / "data"), partitioning="hive").to_table()
+    assert {"url", "pred_lang", "perplexity", "keep", "drop_reason",
+            "text_scrubbed"} <= set(t.column_names)
+    assert t.num_rows == 600
+
+    # resume: identical re-run skips every partition
+    summary2 = run_quality_filter(cc_dir, out, cfg)
+    assert summary2["skipped_partitions"] == 8
+
+
+def test_resume_after_partial_failure(ray_session, models_dir, cc_dir, tmp_path):
+    """Deleting one manifest (simulated crash) reprocesses only that
+    partition and reproduces identical data."""
+    from tiny_lingua_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        run_quality_filter,
+    )
+
+    out = tmp_path / "qf2"
+    cfg = QualityFilterConfig(
+        num_partitions=4, langid_concurrency=2, batch_size=256
+    )
+    run_quality_filter(cc_dir, out, cfg)
+    before = (
+        pds.dataset(str(out / "data"), partitioning="hive")
+        .to_table()
+        .sort_by("url")
+    )
+
+    (out / "manifest" / "part-00002.json").unlink()
+    summary = run_quality_filter(cc_dir, out, cfg)
+    assert summary["skipped_partitions"] == 3
+
+    after = (
+        pds.dataset(str(out / "data"), partitioning="hive")
+        .to_table()
+        .sort_by("url")
+    )
+    assert before.num_rows == after.num_rows
+    assert before.column("url").equals(after.column("url"))
+    assert before.column("keep").equals(after.column("keep"))
+
+
+def test_exact_dedup_dataset(ray_session):
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.dedup import exact_dedup
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "aaa"},
+            {"doc_id": 2, "text": "bbb"},
+            {"doc_id": 3, "text": "aaa"},
+            {"doc_id": 4, "text": "ccc"},
+            {"doc_id": 5, "text": "aaa"},
+        ]
+    )
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    assert out["dup_count"].tolist() == [3, 1, 1]
+
+
+def test_minhash_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.dedup import minhash_lsh_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("dog", "cat")},
+            {"doc_id": 3, "text": "completely unrelated content about parquet files"},
+        ]
+    )
+    pairs = minhash_lsh_candidates(ds).to_pandas()
+    pairset = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (1, 2) in pairset
+    assert (1, 3) not in pairset and (2, 3) not in pairset
+
+
+def test_knn_brute_force(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.similarity import knn_brute_force
+
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    vecs[7] = vecs[0] * 2.0  # same direction as 0 -> cosine 1.0
+    ds = rd.from_items(
+        [
+            {"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(len(vecs))
+        ]
+    )
+    out = knn_brute_force(ds, query_ids=[0], k=3)
+    assert out.iloc[0]["neighbor_id"] == 7
+    assert out.iloc[0]["cosine"] == pytest.approx(1.0)
+    assert out["rank"].tolist() == [1, 2, 3]
+
+
+def test_fast_langid_fallback_stage(ray_session):
+    import pyarrow as pa
+
+    from tiny_lingua_ray.stages.fast_langid import FastLangId
+
+    stage = FastLangId(min_prob=0.0)
+    batch = pa.table(
+        {
+            "text": ["bonjour le monde entier", "hello world out there"],
+            "pred_lang": ["unknown", "en"],
+            "lang_margin": [float("nan"), 0.5],
+        }
+    )
+    out = stage(batch)
+    final = out.column("lang_final").to_pylist()
+    # resolved row untouched; unknown row re-scored by the classifier
+    assert final[1] == "en"
+    assert final[0] != "unknown"

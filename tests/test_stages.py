@@ -1,0 +1,167 @@
+"""Unit tests for the pipeline stages (no Ray needed — plain batch fns)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tiny_lingua_ray.sources.cc_pages import HTML_PREFIX, HTML_SUFFIX, make_shard
+from tiny_lingua_ray.stages.extract import extract_batch, extract_text
+from tiny_lingua_ray.stages.quality import FLAG_NAMES, quality_batch
+from tiny_lingua_ray.stages.scrub import scrub_batch, scrub_text
+
+
+# --- extraction -----------------------------------------------------------
+
+def test_extract_byte_identical_roundtrip():
+    texts = ["hello world", "unicode: üñïçødé 你好", ""]
+    html = [HTML_PREFIX + t.encode("utf-8") + HTML_SUFFIX for t in texts]
+    out = extract_batch(pa.table({"html": html, "text": texts}))
+    assert out.column("extracted_text").to_pylist() == texts
+    assert "html" not in out.column_names
+
+
+def test_extract_malformed_html():
+    assert extract_text(b"<html>no paragraph</html>") == ""
+    assert extract_text(None) == ""
+
+
+def test_cc_pages_deterministic():
+    a = make_shard(0, 50)
+    b = make_shard(0, 50)
+    assert a.equals(b)
+    assert a.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+    # extraction recovers text byte-identically for every row
+    out = extract_batch(a)
+    assert out.column("extracted_text").to_pylist() == a.column("text").to_pylist()
+
+
+# --- quality rules --------------------------------------------------------
+
+def test_quality_flags():
+    rows = {
+        "text": [
+            "the quick brown fox jumps over the lazy dog and keeps running",
+            "a b",                                 # too few words
+            "function() { var x = 1; }",           # curly brace
+            "lorem ipsum dolor sit amet lorem ipsum dolor sit amet",
+            "spam spam spam spam spam spam spam spam spam spam",  # dominance
+        ]
+    }
+    out = quality_batch(pa.table(rows))
+    flags = out.column("quality_flags").to_pylist()
+    assert flags[0] == 0
+    assert flags[1] & (1 << FLAG_NAMES.index("too_few_words"))
+    assert flags[2] & (1 << FLAG_NAMES.index("curly_brace"))
+    assert flags[3] & (1 << FLAG_NAMES.index("lorem_ipsum"))
+    assert flags[4] & (1 << FLAG_NAMES.index("word_dominance"))
+
+
+# --- scrub ----------------------------------------------------------------
+
+def test_scrub_patterns():
+    t, n_pii, _ = scrub_text(
+        "mail john@x.com or 555-123-4567; ip 10.0.0.1; ssn 123-45-6789"
+    )
+    assert "<EMAIL>" in t and "<PHONE>" in t and "<IP>" in t and "<SSN>" in t
+    assert n_pii == 4
+
+
+def test_scrub_toxicity_count():
+    _, _, tox = scrub_text("you idiot, that was stupid")
+    assert tox == 2
+
+
+def test_scrub_batch_columns():
+    out = scrub_batch(pa.table({"text": ["clean text", "a@b.co here"]}))
+    assert out.column("pii_count").to_pylist() == [0, 1]
+
+
+# --- dedup primitives -----------------------------------------------------
+
+def test_minhash_similarity_monotone():
+    from tiny_lingua_ray.stages.dedup import char_shingles, minhash_signature
+
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox jumps over the lazy cat"
+    c = "completely different text with nothing shared at all"
+    sa = minhash_signature(char_shingles(a))
+    sb = minhash_signature(char_shingles(b))
+    sc = minhash_signature(char_shingles(c))
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    assert sim_ab > sim_ac
+    assert (sa == minhash_signature(char_shingles(a))).all()
+
+
+def test_simhash_near_dup_hamming():
+    from tiny_lingua_ray.stages.dedup import simhash64
+
+    a = simhash64("the quick brown fox jumps over the lazy dog")
+    b = simhash64("the quick brown fox jumps over the lazy cat")
+    c = simhash64("completely different text with nothing shared at all")
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_jaccard():
+    from tiny_lingua_ray.stages.dedup import jaccard
+
+    assert jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert jaccard("abcdefgh", "zzzzzzzz") == 0.0
+
+
+# --- perplexity -----------------------------------------------------------
+
+def test_perplexity_in_domain_lower(small_models_dir):
+    from tiny_lingua_ray.stages.perplexity import PerplexityScorer
+
+    scorer = PerplexityScorer(
+        models_dir=str(small_models_dir),
+        languages=("en", "de", "es", "fr", "zh"),
+        build_if_missing=False,
+    )
+    batch = pa.table(
+        {
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "zzxq jqkv wxzz qqqq zzzz xxxx",
+                "no model row",
+            ],
+            "pred_lang": ["en", "en", "unknown"],
+        }
+    )
+    out = scorer(batch)
+    pp = out.column("perplexity").to_pylist()
+    assert pp[0] < pp[1]  # gibberish has higher perplexity
+    assert np.isnan(pp[2])  # unknown lang -> NaN
+
+
+def test_fused_scorer_matches_standalone(small_models_dir):
+    from tiny_lingua_ray.stages.langid import LangIdScorer
+    from tiny_lingua_ray.stages.perplexity import PerplexityScorer
+
+    langs = ("en", "de", "es", "fr", "zh")
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "der schnelle braune fuchs springt über den faulen hund",
+        "1234 !!!",
+    ]
+    fused = LangIdScorer(
+        models_dir=str(small_models_dir),
+        languages=langs,
+        build_if_missing=False,
+        compute_perplexity=True,
+    )(pa.table({"text": texts}))
+    base = LangIdScorer(
+        models_dir=str(small_models_dir), languages=langs, build_if_missing=False
+    )(pa.table({"text": texts}))
+    standalone = PerplexityScorer(
+        models_dir=str(small_models_dir), languages=langs, build_if_missing=False
+    )(base)
+    a = fused.column("perplexity").to_pylist()
+    b = standalone.column("perplexity").to_pylist()
+    for x, y in zip(a, b):
+        assert (np.isnan(x) and np.isnan(y)) or x == pytest.approx(y)

@@ -71,6 +71,129 @@ def load_dict_models(
     return models
 
 
+def resolve_backoff_values(
+    models: list[PackedModel], ngrams: list[str]
+) -> np.ndarray:
+    """[V, L] backoff-resolved log-freqs (0.0 = no hit at any order) for a
+    mixed-length ngram list (J1 semantics: truncate suffix, keep prefix)."""
+    from tiny_lingua_ray.models.train import fnv1a_64
+
+    L = len(models)
+    out = np.zeros((len(ngrams), L))
+    by_len: dict[int, list[int]] = {}
+    for i, g in enumerate(ngrams):
+        by_len.setdefault(len(g), []).append(i)
+    for n, idxs in by_len.items():
+        sub = [ngrams[i] for i in idxs]
+        vals = np.full((len(sub), L), np.nan)
+        for level in range(n, 0, -1):
+            hashes = np.fromiter(
+                (fnv1a_64(g[:level]) for g in sub),
+                dtype=np.uint64,
+                count=len(sub),
+            )
+            for li, pm in enumerate(models):
+                col = vals[:, li]
+                unresolved = np.isnan(col)
+                if not unresolved.any():
+                    continue
+                col[unresolved] = pm.lookup(hashes[unresolved], level)
+        np.nan_to_num(vals, copy=False)
+        out[np.asarray(idxs)] = vals
+    return out
+
+
+def unigram_hit_matrix(
+    models: list[PackedModel], unigrams: list[str]
+) -> np.ndarray:
+    """bool [V, L]: exact unigram presence (J2, no backoff)."""
+    from tiny_lingua_ray.models.train import fnv1a_64
+
+    hashes = np.fromiter(
+        (fnv1a_64(g) for g in unigrams), dtype=np.uint64, count=len(unigrams)
+    )
+    out = np.empty((len(unigrams), len(models)), dtype=bool)
+    for li, pm in enumerate(models):
+        out[:, li] = ~np.isnan(pm.lookup(hashes, 1))
+    return out
+
+
+RESOLVED_CACHE_DIR = "resolved_cache"
+
+
+def _save_npy(path: Path, arr: np.ndarray) -> None:
+    import os
+
+    tmp = Path(f"{path}.{os.getpid()}.tmp")
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    os.replace(tmp, path)
+
+
+def build_resolved_cache(models_dir: Path, languages=ALL_ISO1) -> Path:
+    """Precompute the backoff-resolved (ngram x language) value table for
+    every 1-3-gram in any language's model — the warmed scorer cache that
+    actors share via ray.put instead of each re-resolving from scratch
+    (this cold work was the scaling bottleneck at high concurrency)."""
+    import pyarrow.parquet as pq
+
+    out_dir = Path(models_dir) / RESOLVED_CACHE_DIR
+    if (out_dir / "languages.npy").exists():
+        try:
+            langs = np.load(out_dir / "languages.npy", allow_pickle=False)
+            if list(langs) == list(languages):
+                return out_dir
+        except (OSError, ValueError):
+            pass
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    union: dict[str, None] = {}
+    for lang in languages:
+        t = pq.read_table(
+            Path(models_dir) / lang / "low.parquet", columns=["ngram"]
+        )
+        for g in t.column("ngram").to_pylist():
+            union[g] = None
+    ngrams = list(union)
+    packed = load_packed_models(Path(models_dir), languages, orders="low")
+    models = [packed[l] for l in languages]
+    matrix = resolve_backoff_values(models, ngrams)
+    unigrams = [g for g in ngrams if len(g) == 1]
+    uni_matrix = unigram_hit_matrix(models, unigrams)
+
+    _save_npy(out_dir / "matrix.npy", matrix)
+    _save_npy(out_dir / "ngrams.npy", np.array(ngrams))
+    _save_npy(out_dir / "uni_matrix.npy", uni_matrix)
+    _save_npy(out_dir / "uni_ngrams.npy", np.array(unigrams))
+    _save_npy(out_dir / "languages.npy", np.array(languages))
+    return out_dir
+
+
+def load_resolved_cache(models_dir: Path) -> dict | None:
+    """Raw .npy layout; the big matrix is memory-mapped read-only so every
+    worker process on a node shares one physical copy via the page cache."""
+    d = Path(models_dir) / RESOLVED_CACHE_DIR
+    if not (d / "languages.npy").exists():
+        return None
+    try:
+        return {
+            "languages": [
+                str(x)
+                for x in np.load(d / "languages.npy", allow_pickle=False)
+            ],
+            "ngrams": np.load(d / "ngrams.npy", allow_pickle=False),
+            "matrix": np.load(
+                d / "matrix.npy", allow_pickle=False, mmap_mode="r"
+            ),
+            "uni_ngrams": np.load(d / "uni_ngrams.npy", allow_pickle=False),
+            "uni_matrix": np.load(
+                d / "uni_matrix.npy", allow_pickle=False, mmap_mode="r"
+            ),
+        }
+    except (OSError, ValueError):
+        return None
+
+
 def load_packed_models(
     models_dir: Path,
     languages=ALL_ISO1,

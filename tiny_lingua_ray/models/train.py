@@ -202,6 +202,13 @@ def ensure_models(
     else:
         for l in missing:
             train_language(l, out)
+
+    if tuple(languages) == tuple(ALL_ISO1):
+        # precompute the shared resolved-value table (scaling-critical:
+        # without it every scorer actor re-resolves the vocab from cold)
+        from tiny_lingua_ray.models.loader import build_resolved_cache
+
+        build_resolved_cache(out, languages)
     return out
 
 

@@ -61,9 +61,14 @@ class QualityFilterConfig:
     max_perplexity: float = 1000.0
     quality_drop_mask: int = (1 << 10) - 1  # all quality flags drop
     num_partitions: int = 64
-    batch_size: int = 1024
-    langid_concurrency: int | tuple[int, int] = 4
+    batch_size: int = 512
+    langid_concurrency: int | tuple[int, int] = (2, 8)
     perplexity_concurrency: int | tuple[int, int] = 2
+    # one actor pool does langid + perplexity (one model copy, one pass)
+    fuse_perplexity: bool = True
+    # fastText-style fallback for rows langid left unknown/low-margin
+    use_fasttext_fallback: bool = True
+    fasttext_concurrency: int | tuple[int, int] = 2
 
     def config_hash(self) -> str:
         payload = json.dumps(
@@ -115,7 +120,10 @@ def _finalize_batch(batch: pa.Table, cfg: QualityFilterConfig) -> pa.Table:
     batch = scrub_batch(batch, text_column="extracted_text")
 
     R = batch.num_rows
-    pred = batch.column("pred_lang").to_pylist()
+    lang_col = (
+        "lang_final" if "lang_final" in batch.column_names else "pred_lang"
+    )
+    pred = batch.column(lang_col).to_pylist()
     extract_ok = np.asarray(batch.column("extract_ok").to_pylist(), dtype=bool)
     qflags = batch.column("quality_flags").to_numpy()
     pp = batch.column("perplexity").to_numpy()
@@ -138,24 +146,40 @@ def _finalize_batch(batch: pa.Table, cfg: QualityFilterConfig) -> pa.Table:
     batch = batch.append_column("keep", pa.array(keep)).append_column(
         "drop_reason", pa.array(reason.tolist(), pa.string())
     )
-    return batch.select(
-        [
-            "url",
-            "warc_ts",
-            "part_id",
-            "lang",
-            "pred_lang",
-            "lang_margin",
-            "lang_path",
-            "perplexity",
-            "quality_flags",
-            "pii_count",
-            "tox_count",
-            "keep",
-            "drop_reason",
-            "text_scrubbed",
-        ]
-    )
+    cols = [
+        "url",
+        "warc_ts",
+        "part_id",
+        "lang",
+        "pred_lang",
+        "lang_margin",
+        "lang_path",
+        "perplexity",
+        "quality_flags",
+        "pii_count",
+        "tox_count",
+        "keep",
+        "drop_reason",
+        "text_scrubbed",
+    ]
+    if "lang_final" in batch.column_names:
+        cols.insert(5, "lang_final")
+        cols.insert(6, "ft_prob")
+    return batch.select(cols)
+
+
+def _cap_pool(
+    conc: int | tuple[int, int], cpus: int, reserve: int = 2
+) -> int | tuple[int, int]:
+    """Cap an actor-pool size so 1-CPU actors can never starve the task
+    operators (pool + ``reserve`` task CPUs must fit the cluster)."""
+    avail = max(1, cpus - reserve)
+    if isinstance(conc, tuple):
+        lo, hi = conc
+        lo = max(1, min(lo, avail))
+        hi = max(lo, min(hi, avail))
+        return lo if lo == hi else (lo, hi)
+    return max(1, min(conc, avail))
 
 
 def quality_filter_dataset(
@@ -167,19 +191,46 @@ def quality_filter_dataset(
     """Compose the full pipeline onto ``ds`` (lazy; no sinks, no ray.init)."""
     cfg = cfg or QualityFilterConfig()
 
+    cluster_cpus = 8
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+    except ImportError:
+        pass
+    # fastText actors are light (40 MB matrix): half a CPU each, and they
+    # must not push the 1-CPU langid pool into starving the task operators
+    ft_conc = _cap_pool(cfg.fasttext_concurrency, cluster_cpus * 2, reserve=2)
+    langid_conc = _cap_pool(
+        cfg.langid_concurrency,
+        cluster_cpus
+        - (
+            (ft_conc[1] if isinstance(ft_conc, tuple) else ft_conc) // 2
+            if cfg.use_fasttext_fallback
+            else 0
+        ),
+        reserve=2,
+    )
+
     if models_ref is None:
         try:
             import ray
 
             if ray.is_initialized():
-                from tiny_lingua_ray.models.loader import load_packed_models
-                from tiny_lingua_ray.models.train import (
-                    default_models_dir,
-                    ensure_models,
+                from tiny_lingua_ray.models.loader import (
+                    load_packed_models,
+                    load_resolved_cache,
                 )
+                from tiny_lingua_ray.models.train import ensure_models
 
                 mdir = ensure_models(languages=cfg.languages)
-                models_ref = ray.put(load_packed_models(mdir, cfg.languages))
+                models_ref = ray.put(
+                    {
+                        "packed": load_packed_models(mdir, cfg.languages),
+                        "cache": load_resolved_cache(mdir),
+                    }
+                )
         except ImportError:
             pass
 
@@ -207,22 +258,57 @@ def quality_filter_dataset(
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
-    ds = ds.map_batches(
-        LangIdScorer,
-        fn_constructor_kwargs=scorer_kwargs,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.langid_concurrency,
-        num_cpus=1,
-    )
-    ds = ds.map_batches(
-        PerplexityScorer,
-        fn_constructor_kwargs=pp_kwargs,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.perplexity_concurrency,
-        num_cpus=1,
-    )
+    if cfg.fuse_perplexity:
+        scorer_kwargs["compute_perplexity"] = True
+        ds = ds.map_batches(
+            LangIdScorer,
+            fn_constructor_kwargs=scorer_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=langid_conc,
+            num_cpus=1,
+        )
+    else:
+        ds = ds.map_batches(
+            LangIdScorer,
+            fn_constructor_kwargs=scorer_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=langid_conc,
+            num_cpus=1,
+        )
+        ds = ds.map_batches(
+            PerplexityScorer,
+            fn_constructor_kwargs=pp_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=_cap_pool(cfg.perplexity_concurrency, cluster_cpus),
+            num_cpus=1,
+        )
+    if cfg.use_fasttext_fallback:
+        from tiny_lingua_ray.stages.fast_langid import FastLangId
+
+        ft_kwargs: dict = {"text_column": "extracted_text"}
+        try:
+            import ray
+
+            if ray.is_initialized():
+                from tiny_lingua_ray.models.fast_text import (
+                    ensure_fasttext_model,
+                )
+
+                ft_kwargs["model_ref"] = ray.put(ensure_fasttext_model())
+        except ImportError:
+            pass
+        ds = ds.map_batches(
+            FastLangId,
+            fn_constructor_kwargs=ft_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=ft_conc,
+            num_cpus=0.5,
+        )
+
     ds = ds.map_batches(
         _finalize_batch,
         fn_kwargs={"cfg": cfg},

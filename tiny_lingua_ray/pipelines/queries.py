@@ -120,9 +120,20 @@ def q_join_orders_customers(sf_dir: str):
 
 
 def q_topk_orders(sf_dir: str):
-    """Global top-10 by price (sort+limit; ties broken by key)."""
+    """Global top-10 by price: per-batch partial top-k -> tiny final merge
+    (a full distributed sort for a top-k is the wrong shape at scale)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().nlargest(10, ["o_totalprice", "o_orderkey"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(10)
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    return partials.nlargest(10, ["o_totalprice", "o_orderkey"]).reset_index(
+        drop=True
+    )
 
 
 def q_distinct_users_per_event(sf_dir: str):
@@ -444,6 +455,90 @@ def q_embedding_label_stats(sf_dir: str):
     return out[["label", "n_vecs", "avg_norm"]]
 
 
+def q_image_features(sf_dir: str):
+    """Multimodal: decode RAW images -> resize/dHash/stats (actor pool).
+
+    Media table synthesized deterministically (no media parquet exists in
+    the driver testdata); rows-only check."""
+    import ray.data as rd
+
+    from tiny_lingua_ray.sources.media import make_media_table
+    from tiny_lingua_ray.stages.multimodal import ImageFeatures
+
+    t = make_media_table(64)
+    ds = rd.from_arrow(t).filter(lambda r: r["kind"] == "image")
+    return ds.map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+        num_cpus=1,
+    ).select_columns(
+        ["media_id", "img_height", "img_width", "mean_r", "dhash"]
+    )
+
+
+def q_audio_features(sf_dir: str):
+    """Multimodal: decode RAW audio -> frame-sample/RMS (actor pool)."""
+    import ray.data as rd
+
+    from tiny_lingua_ray.sources.media import make_media_table
+    from tiny_lingua_ray.stages.multimodal import AudioFeatures
+
+    t = make_media_table(64)
+    ds = rd.from_arrow(t).filter(lambda r: r["kind"] == "audio")
+    return ds.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+        num_cpus=1,
+    ).select_columns(["media_id", "duration_sec", "rms", "n_frames"])
+
+
+def q_cosine_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH buckets."""
+    from tiny_lingua_ray.stages.similarity import cosine_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_near_dup_pairs(ds, threshold=0.4, n_planes=4).to_pandas()
+    if out.empty or "cosine" not in out.columns:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+    out["cosine"] = out["cosine"].round(4)
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def q_langid_fallback(sf_dir: str):
+    """LangId + fastText-style fallback chain over documents."""
+    from tiny_lingua_ray.stages.fast_langid import FastLangId
+    from tiny_lingua_ray.stages.langid import LangIdScorer
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            LangIdScorer,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+            num_cpus=1,
+        )
+        .map_batches(
+            FastLangId,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+            num_cpus=1,
+        )
+        .select_columns(["doc_id", "pred_lang", "lang_final"])
+    )
+
+
 def q_quality_filter_flagship(sf_dir: str):
     """The flagship pipeline over cc_pages synthesized from documents."""
     from tiny_lingua_ray.pipelines.quality_filter import (
@@ -478,8 +573,7 @@ def q_quality_filter_flagship(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         to_cc, batch_format="pyarrow"
     )
-    cfg = QualityFilterConfig(num_partitions=16, langid_concurrency=2,
-                              perplexity_concurrency=2)
+    cfg = QualityFilterConfig(num_partitions=16)
     return quality_filter_dataset(ds, cfg)
 
 
@@ -506,6 +600,10 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "knn_cosine": q_knn_cosine,
     "embedding_label_stats": q_embedding_label_stats,
+    "cosine_near_dup": q_cosine_near_dup,
+    "image_features": q_image_features,
+    "audio_features": q_audio_features,
+    "langid_fallback": q_langid_fallback,
     "quality_filter_flagship": q_quality_filter_flagship,
 }
 

@@ -1,0 +1,47 @@
+"""Deterministic synthetic media table (images + audio as RAW containers).
+
+Schema: media_id:int64, kind:string ('image'|'audio'), payload:binary,
+meta_width:int32, meta_height:int32, meta_sample_rate:int32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from tiny_lingua_ray.stages.multimodal import encode_raw_audio, encode_raw_image
+
+
+def make_media_table(n_rows: int = 64, seed: int = 42) -> pa.Table:
+    ids, kinds, payloads = [], [], []
+    widths, heights, rates = [], [], []
+    for i in range(n_rows):
+        rng = np.random.RandomState(seed + i)
+        ids.append(i)
+        if i % 2 == 0:
+            h, w = 24 + (i % 5) * 8, 32 + (i % 3) * 16
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            kinds.append("image")
+            payloads.append(encode_raw_image(img))
+            widths.append(w)
+            heights.append(h)
+            rates.append(0)
+        else:
+            rate = 8000
+            n = rate // 2 + (i % 7) * 100
+            samples = (rng.standard_normal(n) * 0.1).astype(np.float32)
+            kinds.append("audio")
+            payloads.append(encode_raw_audio(samples, rate))
+            widths.append(0)
+            heights.append(0)
+            rates.append(rate)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_width": pa.array(widths, pa.int32()),
+            "meta_height": pa.array(heights, pa.int32()),
+            "meta_sample_rate": pa.array(rates, pa.int32()),
+        }
+    )

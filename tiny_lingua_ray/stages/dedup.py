@@ -116,6 +116,27 @@ def bucket_pairs(group, id_column: str = "doc_id"):
     return pd.DataFrame({"id_a": a, "id_b": b})
 
 
+NUM_BUCKET_GROUPS = 32
+
+
+def _pairs_in_partition(df, id_column: str = "doc_id"):
+    """Pairing over MANY buckets at once (pandas-C groupby inside one Ray
+    group) — amortizes Ray's per-group overhead over thousands of tiny LSH
+    buckets ("bucket the buckets")."""
+    import pandas as pd
+
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for _, g in df.groupby(["band", "bucket"], sort=False):
+        ids = sorted(set(g[id_column].tolist()))[:MAX_BUCKET]
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+    return pd.DataFrame({"id_a": a_out, "id_b": b_out})
+
+
 def jaccard(text_a: str, text_b: str, k: int = SHINGLE_K) -> float:
     sa = set(np.asarray(char_shingles(text_a, k)).tolist())
     sb = set(np.asarray(char_shingles(text_b, k)).tolist())
@@ -201,13 +222,24 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
         fn_kwargs={"text_column": text_column, "id_column": id_column},
         batch_format="pyarrow",
     )
+    def add_group_key(batch: pa.Table) -> pa.Table:
+        band = batch.column("band").to_numpy(zero_copy_only=False)
+        bucket = batch.column("bucket").to_numpy(zero_copy_only=False)
+        gkey = (
+            (bucket ^ (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+            % np.uint64(NUM_BUCKET_GROUPS)
+        ).astype(np.int64)
+        return batch.append_column("gkey", pa.array(gkey))
+
     bands = sig.map_batches(
         explode_bands,
         fn_kwargs={"id_column": id_column},
         batch_format="pyarrow",
-    )
-    pairs = bands.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs,
+    ).map_batches(add_group_key, batch_format="pyarrow")
+    # ONE shuffle into NUM_BUCKET_GROUPS coarse groups; exact (band, bucket)
+    # pairing happens in pandas inside each group
+    pairs = bands.groupby("gkey").map_groups(
+        _pairs_in_partition,
         batch_format="pandas",
         fn_kwargs={"id_column": id_column},
     )

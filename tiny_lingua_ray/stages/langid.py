@@ -80,20 +80,44 @@ def extract_unique_ngrams(cleaned: str, n: int) -> list[str]:
 
 
 class _ValueCache:
-    """ngram -> float64[L] of backoff-resolved log-probs (0.0 = no hit)."""
+    """ngram -> float64[L] of backoff-resolved log-probs (0.0 = no hit).
 
-    def __init__(self, num_langs: int, capacity: int = 1 << 18):
+    Two tiers: an optional read-only BASE (the precomputed resolved table
+    shipped via ray.put / loaded from disk — covers every ngram any model
+    knows) plus a small local overflow for ngrams first seen at query time.
+    Base ids are [0, base_n); local ids continue from base_n.
+    """
+
+    def __init__(
+        self,
+        num_langs: int,
+        base_ngrams=None,
+        base_matrix: np.ndarray | None = None,
+    ):
+        if base_matrix is not None and base_ngrams is not None:
+            self.base_index: dict[str, int] = {
+                g: i for i, g in enumerate(base_ngrams)
+            }
+            self.base_matrix = base_matrix
+        else:
+            self.base_index = {}
+            self.base_matrix = np.empty((0, num_langs), dtype=np.float64)
+        self.base_n = len(self.base_index)
         self.index: dict[str, int] = {}
         self.matrix = np.empty((4096, num_langs), dtype=np.float64)
-        self.capacity = capacity
 
     def rows_for(self, ngrams: list[str]) -> tuple[np.ndarray, list[str]]:
         """Indices for known ngrams (-1 for unknown) + the unknown list."""
         idx = np.empty(len(ngrams), dtype=np.int64)
         missing: list[str] = []
-        get = self.index.get
+        bget = self.base_index.get
+        lget = self.index.get
+        base_n = self.base_n
         for i, g in enumerate(ngrams):
-            j = get(g, -1)
+            j = bget(g)
+            if j is None:
+                j = lget(g)
+                j = -1 if j is None else base_n + j
             idx[i] = j
             if j < 0:
                 missing.append(g)
@@ -103,15 +127,25 @@ class _ValueCache:
         n0 = len(self.index)
         needed = n0 + len(ngrams)
         if needed > len(self.matrix):
-            grow = max(needed, min(2 * len(self.matrix), self.capacity + 4096))
+            grow = max(needed, 2 * len(self.matrix))
             nm = np.empty((grow, self.matrix.shape[1]), dtype=np.float64)
             nm[:n0] = self.matrix[:n0]
             self.matrix = nm
-        ids = np.arange(n0, needed, dtype=np.int64)
         self.matrix[n0:needed] = values
-        for g, j in zip(ngrams, ids):
-            self.index[g] = int(j)
-        return ids
+        for k, g in enumerate(ngrams):
+            self.index[g] = n0 + k
+        return np.arange(self.base_n + n0, self.base_n + needed, dtype=np.int64)
+
+    def gather(self, ids: np.ndarray) -> np.ndarray:
+        """[len(ids), L] values for mixed base/local ids."""
+        out = np.empty((len(ids), self.matrix.shape[1]), dtype=np.float64)
+        mb = ids < self.base_n
+        if mb.any():
+            out[mb] = self.base_matrix[ids[mb]]
+        ml = ~mb
+        if ml.any():
+            out[ml] = self.matrix[ids[ml] - self.base_n]
+        return out
 
 
 class LangIdScorer:
@@ -132,6 +166,7 @@ class LangIdScorer:
         low_accuracy: bool = False,
         text_column: str = "text",
         build_if_missing: bool = True,
+        compute_perplexity: bool = False,
     ):
         self.languages = tuple(languages)
         self.lang_set = frozenset(languages)
@@ -141,19 +176,34 @@ class LangIdScorer:
         self.low_accuracy = low_accuracy
         self.text_column = text_column
 
+        resolved_cache = None
         if models_ref is not None:
             import ray
 
-            packed = ray.get(models_ref)
+            payload = ray.get(models_ref)
+            if isinstance(payload, dict) and "packed" in payload:
+                packed = payload["packed"]
+                resolved_cache = payload.get("cache")
+            else:
+                packed = payload
         else:
-            mdir = models_dir or str(default_models_dir())
+            from pathlib import Path
+
+            from tiny_lingua_ray.models.loader import load_resolved_cache
+
+            mdir = Path(models_dir or default_models_dir())
             if build_if_missing:
-                ensure_models(__import__("pathlib").Path(mdir), self.languages,
-                              use_ray=False)
-            packed = load_packed_models(
-                __import__("pathlib").Path(mdir), self.languages
-            )
+                ensure_models(mdir, self.languages, use_ray=False)
+            packed = load_packed_models(mdir, self.languages)
+            resolved_cache = load_resolved_cache(mdir)
         self.models: list[PackedModel] = [packed[l] for l in self.languages]
+        self.compute_perplexity = compute_perplexity
+        if compute_perplexity:
+            from tiny_lingua_ray.stages.perplexity import TrigramBackoffResolver
+
+            self.pp_resolver = TrigramBackoffResolver(
+                {l: packed[l] for l in self.languages}
+            )
 
         # rank array for declaration-order tie-breaks (EnumDoubleMap.kt:91-121)
         self.rank = np.array([RANK[l] for l in self.languages], dtype=np.int64)
@@ -171,8 +221,30 @@ class LangIdScorer:
         self.special_table = rule_special_table()
         self.latin_id = SCRIPT_ID["LATIN"]
 
-        self.value_cache = _ValueCache(self.L)        # all n
-        self.uni_hit_cache: dict[str, np.ndarray] = {}  # unigram -> bool[L]
+        # Warm caches from the precomputed resolved table when its language
+        # set matches (base tier is read-only, possibly object-store-shared)
+        if (
+            resolved_cache is not None
+            and list(resolved_cache["languages"]) == list(self.languages)
+        ):
+            # NOTE: matrix may be an mmap — do NOT copy it (page-cache
+            # sharing across every worker process on the node)
+            base_matrix = resolved_cache["matrix"]
+            # prefault the (possibly mmap'd) table sequentially once —
+            # random first-touch during scoring is far slower
+            float(np.asarray(base_matrix[:: max(1, len(base_matrix) // 65536)]).sum())
+            self.value_cache = _ValueCache(
+                self.L,
+                base_ngrams=[str(g) for g in resolved_cache["ngrams"]],
+                base_matrix=base_matrix,
+            )
+            self.uni_hit_cache = {
+                str(g): resolved_cache["uni_matrix"][i]
+                for i, g in enumerate(resolved_cache["uni_ngrams"])
+            }
+        else:
+            self.value_cache = _ValueCache(self.L)
+            self.uni_hit_cache = {}
 
     # ------------------------------------------------------------------ #
 
@@ -267,11 +339,33 @@ class LangIdScorer:
         if len(idx_todo):
             self._score_rows(idx_todo, cleaned_list, cand_mask, pred, margin, path)
 
-        return (
+        out = (
             batch.append_column("pred_lang", pa.array(pred.tolist(), pa.string()))
             .append_column("lang_margin", pa.array(margin))
             .append_column("lang_path", pa.array(path, pa.uint8()))
         )
+        if self.compute_perplexity:
+            # fused perplexity pass reusing the cleaned texts (one actor
+            # pool holds both roles -> one model copy, one batch pass)
+            from tiny_lingua_ray.stages.perplexity import trigram_occurrences
+
+            from tiny_lingua_ray.models.train import letter_run_pattern
+
+            pat = letter_run_pattern()
+            rows_by_lang: dict[str, list[int]] = {}
+            grams_per_row: list[list[str]] = []
+            for r in range(R):
+                l = pred[r]
+                if l in self.pp_resolver.models:
+                    grams_per_row.append(
+                        trigram_occurrences(cleaned_list[r], pat)
+                    )
+                    rows_by_lang.setdefault(l, []).append(r)
+                else:
+                    grams_per_row.append([])
+            pp = self.pp_resolver.perplexities(rows_by_lang, grams_per_row, R)
+            out = out.append_column("perplexity", pa.array(pp))
+        return out
 
     # ------------------------------------------------------------------ #
 
@@ -391,14 +485,14 @@ class LangIdScorer:
             # segment-sum via one gather + per-language bincount (much
             # faster than reduceat-axis0 for wide 2D arrays)
             row_ids = np.repeat(np.arange(nkeep), lens[keep])
-            # two-step gather: batch vocab first (good locality in the big
-            # cache), then expand to occurrences
-            P = self.value_cache.matrix[cache_ids]  # [V, L]
-            G = P[concat]  # [C, L]
+            # batch-vocab gather, then COLUMN-wise expand+bincount: avoids
+            # materializing a [C, L] matrix (large fresh allocations are
+            # pathologically slow on this host)
+            P = np.asfortranarray(self.value_cache.gather(cache_ids))
             S = np.empty((nkeep, self.L), dtype=np.float64)
             for li in range(self.L):
                 S[:, li] = np.bincount(
-                    row_ids, weights=G[:, li], minlength=nkeep
+                    row_ids, weights=P[:, li][concat], minlength=nkeep
                 )
 
             # CJK factor per (lang, n) partial sum (LanguageDetector.kt:565-574)
@@ -410,11 +504,11 @@ class LangIdScorer:
             totals[krows] += S
 
             if n == 1:
-                Hm = self._unigram_hits(order)[concat]  # [C, L] bool
+                Hm = np.asfortranarray(self._unigram_hits(order))  # [V, L]
                 C = np.empty((nkeep, self.L), dtype=np.int64)
                 for li in range(self.L):
                     C[:, li] = np.bincount(
-                        row_ids, weights=Hm[:, li], minlength=nkeep
+                        row_ids, weights=Hm[:, li][concat], minlength=nkeep
                     )
                 uni_counts[krows] = C
                 s1_nonzero[krows] = neg

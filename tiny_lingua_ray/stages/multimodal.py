@@ -1,0 +1,163 @@
+"""Multimodal columns: image/audio as opaque binary + typed metadata.
+
+Design (per the engine's charter): media payloads ride through the
+pipeline as ``binary`` columns with metadata columns; decode /
+feature-extract / resize / frame-sample are actor-pool ``map_batches``
+stages with small batch sizes (payloads are KB-MB scale).
+
+Codec status: real image (JPEG/PNG via PIL) and audio (via soundfile)
+decoders are NOT available in this container. The stages use an
+import-try: when the libs are absent they decode only the deterministic
+RAW container produced by ``sources.media`` (magic header + dtype+shape +
+raw bytes). Everything after decode — resize (block mean), dHash,
+channel stats, frame sampling, RMS energy — is real vectorized numpy and
+is tested.  Feeding a real JPEG without PIL raises NotImplementedError
+(clearly marked), never silent garbage.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+RAW_IMG_MAGIC = b"TLRIMG1\x00"
+RAW_AUD_MAGIC = b"TLRAUD1\x00"
+
+try:  # real decoders if ever available
+    from PIL import Image  # type: ignore
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def encode_raw_image(arr: np.ndarray) -> bytes:
+    """uint8 [H, W, 3] -> RAW container bytes."""
+    h, w, c = arr.shape
+    return RAW_IMG_MAGIC + struct.pack("<III", h, w, c) + arr.tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    if payload.startswith(RAW_IMG_MAGIC):
+        h, w, c = struct.unpack("<III", payload[8:20])
+        return np.frombuffer(payload[20:], dtype=np.uint8).reshape(h, w, c)
+    if _HAS_PIL:
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    raise NotImplementedError(
+        "real image codecs (PIL) unavailable in this environment; only the "
+        "RAW container (sources.media.encode_raw_image) is decodable"
+    )
+
+
+def encode_raw_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float32 [N] -> RAW container bytes."""
+    return (
+        RAW_AUD_MAGIC
+        + struct.pack("<II", sample_rate, len(samples))
+        + samples.astype(np.float32).tobytes()
+    )
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    if payload.startswith(RAW_AUD_MAGIC):
+        rate, n = struct.unpack("<II", payload[8:16])
+        return np.frombuffer(payload[16:], dtype=np.float32)[:n], rate
+    raise NotImplementedError(
+        "real audio codecs unavailable; only the RAW container is decodable"
+    )
+
+
+def resize_block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area resize via block means (numpy only)."""
+    h, w, c = img.shape
+    ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
+    out = np.empty((out_h, out_w, c), dtype=np.float64)
+    ii = img.astype(np.float64)
+    for y in range(out_h):
+        rows = ii[ys[y] : max(ys[y + 1], ys[y] + 1)]
+        for x in range(out_w):
+            out[y, x] = rows[:, xs[x] : max(xs[x + 1], xs[x] + 1)].mean(
+                axis=(0, 1)
+            )
+    return out
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash over an 8x9 grayscale downsample."""
+    small = resize_block_mean(img, 8, 9).mean(axis=2)
+    bits = small[:, 1:] > small[:, :-1]
+    out = 0
+    for i, b in enumerate(bits.ravel()):
+        if b:
+            out |= 1 << i
+    return out
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode -> resize -> features.
+
+    Appends: img_width, img_height, mean_r/g/b, dhash (uint64).
+    Use small ``batch_size`` (payloads are large) and
+    ``batch_format="pyarrow"`` (binary columns don't round-trip pandas).
+    """
+
+    def __init__(self, payload_column: str = "payload", thumb: int = 32):
+        self.payload_column = payload_column
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_column).to_pylist()
+        R = len(payloads)
+        w = np.zeros(R, np.int32)
+        h = np.zeros(R, np.int32)
+        means = np.zeros((R, 3))
+        hashes = np.zeros(R, np.uint64)
+        for i, p in enumerate(payloads):
+            img = decode_image(p)
+            h[i], w[i] = img.shape[0], img.shape[1]
+            means[i] = img.reshape(-1, 3).mean(axis=0)
+            hashes[i] = np.uint64(dhash64(img))
+        return (
+            batch.drop_columns([self.payload_column])
+            .append_column("img_height", pa.array(h))
+            .append_column("img_width", pa.array(w))
+            .append_column("mean_r", pa.array(np.round(means[:, 0], 4)))
+            .append_column("mean_g", pa.array(np.round(means[:, 1], 4)))
+            .append_column("mean_b", pa.array(np.round(means[:, 2], 4)))
+            .append_column("dhash", pa.array(hashes))
+        )
+
+
+class AudioFeatures:
+    """Actor-pool stage: decode -> frame-sample -> features.
+
+    Appends: duration_sec, rms, n_frames (frame sampling at ``frame_sec``).
+    """
+
+    def __init__(self, payload_column: str = "payload", frame_sec: float = 0.5):
+        self.payload_column = payload_column
+        self.frame_sec = frame_sec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_column).to_pylist()
+        R = len(payloads)
+        dur = np.zeros(R)
+        rms = np.zeros(R)
+        n_frames = np.zeros(R, np.int32)
+        for i, p in enumerate(payloads):
+            samples, rate = decode_audio(p)
+            dur[i] = len(samples) / rate if rate else 0.0
+            rms[i] = float(np.sqrt((samples.astype(np.float64) ** 2).mean())) if len(samples) else 0.0
+            frame = max(1, int(rate * self.frame_sec))
+            n_frames[i] = (len(samples) + frame - 1) // frame
+        return (
+            batch.drop_columns([self.payload_column])
+            .append_column("duration_sec", pa.array(np.round(dur, 4)))
+            .append_column("rms", pa.array(np.round(rms, 6)))
+            .append_column("n_frames", pa.array(n_frames))
+        )
