@@ -91,7 +91,9 @@ def run_bench() -> dict:
     from tiny_lingua_ray.sources.cc_pages import build_cc_pages, default_cc_dir
 
     lineitem_rows = pq.read_metadata(f"{SF_DIR}/lineitem.parquet").num_rows
-    cc_rows = max(2000, lineitem_rows // 12)
+    cc_rows = int(
+        os.environ.get("GRAFT_CC_ROWS", max(2000, lineitem_rows // 12))
+    )
     cc_dir = build_cc_pages(default_cc_dir(cc_rows), total_rows=cc_rows)
 
     out_dir = Path(f"/tmp/tlr_bench_out/{os.getpid()}")
@@ -132,7 +134,12 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_GRAFT_HEADLINE_ONLY="1"
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            RAY_GRAFT_HEADLINE_ONLY="1",
+            # larger corpus for the scaling runs so per-run fixed costs
+            # (session + pool startup) don't masquerade as poor scaling
+            GRAFT_CC_ROWS=os.environ.get("GRAFT_SCALING_ROWS", "200000"),
         )
         out = subprocess.run(
             [sys.executable, __file__],

@@ -80,6 +80,33 @@ def cmd_build_models(args) -> int:
     return 0
 
 
+def cmd_accuracy_report(args) -> int:
+    ray = _ray_init(args.num_cpus)
+    from tiny_lingua_ray.pipelines.accuracy_report import (
+        run_accuracy_report,
+        write_reports,
+    )
+
+    agg = run_accuracy_report(
+        low_accuracy=args.low_accuracy,
+        limit_per_file=args.limit,
+        concurrency=args.concurrency,
+    )
+    out = write_reports(agg, args.out)
+    overall = agg.groupby("true_lang")["accuracy_pct"].mean().mean()
+    print(
+        json.dumps(
+            {
+                "out": str(out),
+                "languages": int(agg["true_lang"].nunique()),
+                "mean_accuracy_pct": round(float(overall), 2),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tiny_lingua_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -103,6 +130,16 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("build-models", help="build n-gram model tables")
     b.set_defaults(fn=cmd_build_models)
+
+    a = sub.add_parser(
+        "accuracy-report", help="run the conformance accuracy report"
+    )
+    a.add_argument("--out", default="reports/accuracy")
+    a.add_argument("--limit", type=int, default=None)
+    a.add_argument("--low-accuracy", action="store_true")
+    a.add_argument("--concurrency", type=int, default=8)
+    a.add_argument("--num-cpus", type=int, default=None)
+    a.set_defaults(fn=cmd_accuracy_report)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -28,7 +28,7 @@ NGRAM_RANGE = (2, 4)
 ALPHA = 0.5
 LINES_PER_FILE = 500
 MODEL_VERSION = "v2"
-MODEL_FILE = f"/tmp/tlr_models/fasttext_{MODEL_VERSION}.npz"
+MODEL_DIR = f"/tmp/tlr_models/fasttext_{MODEL_VERSION}"
 
 
 def features(text: str, dim: int = DIM) -> np.ndarray:
@@ -70,19 +70,26 @@ def train(languages=ALL_ISO1, alpha: float = ALPHA,
 
 
 def ensure_fasttext_model(languages=ALL_ISO1) -> dict:
-    if os.path.exists(MODEL_FILE):
+    # raw .npy + mmap (npz zip reads are pathologically slow on this host)
+    w_f = os.path.join(MODEL_DIR, "W.npy")
+    l_f = os.path.join(MODEL_DIR, "languages.npy")
+    if os.path.exists(w_f) and os.path.exists(l_f):
         try:
-            d = np.load(MODEL_FILE, allow_pickle=False)
-            if list(d["languages"]) == list(languages):
-                return {"W": d["W"], "languages": d["languages"]}
-        except (OSError, ValueError, KeyError):
+            langs = np.load(l_f, allow_pickle=False)
+            if list(langs) == list(languages):
+                return {
+                    "W": np.load(w_f, allow_pickle=False, mmap_mode="r"),
+                    "languages": langs,
+                }
+        except (OSError, ValueError):
             pass
     model = train(languages)
-    os.makedirs(os.path.dirname(MODEL_FILE), exist_ok=True)
-    tmp = f"{MODEL_FILE}.{os.getpid()}.tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, W=model["W"], languages=model["languages"])
-    os.replace(tmp, MODEL_FILE)
+    os.makedirs(MODEL_DIR, exist_ok=True)
+    for name, arr in (("W", model["W"]), ("languages", model["languages"])):
+        tmp = os.path.join(MODEL_DIR, f"{name}.{os.getpid()}.tmp")
+        with open(tmp, "wb") as f:
+            np.save(f, arr)
+        os.replace(tmp, os.path.join(MODEL_DIR, f"{name}.npy"))
     return model
 
 

@@ -69,6 +69,11 @@ class QualityFilterConfig:
     # fastText-style fallback for rows langid left unknown/low-margin
     use_fasttext_fallback: bool = True
     fasttext_concurrency: int | tuple[int, int] = 2
+    # "disk": actors load models from the shared filesystem (mmap, one
+    # page-cache copy per node; no serial driver-side ray.put) — right for
+    # single-node and shared-fs clusters. "object_store": driver ray.puts
+    # the packed models once — right for multi-node without shared fs.
+    ship_models: str = "disk"
 
     def config_hash(self) -> str:
         payload = json.dumps(
@@ -213,7 +218,11 @@ def quality_filter_dataset(
         reserve=2,
     )
 
-    if models_ref is None:
+    from tiny_lingua_ray.models.train import ensure_models
+
+    mdir = ensure_models(languages=cfg.languages)
+
+    if models_ref is None and cfg.ship_models == "object_store":
         try:
             import ray
 
@@ -222,9 +231,7 @@ def quality_filter_dataset(
                     load_packed_models,
                     load_resolved_cache,
                 )
-                from tiny_lingua_ray.models.train import ensure_models
 
-                mdir = ensure_models(languages=cfg.languages)
                 models_ref = ray.put(
                     {
                         "packed": load_packed_models(mdir, cfg.languages),
@@ -248,6 +255,11 @@ def quality_filter_dataset(
     if models_ref is not None:
         scorer_kwargs["models_ref"] = models_ref
         pp_kwargs["models_ref"] = models_ref
+    else:
+        scorer_kwargs["models_dir"] = str(mdir)
+        scorer_kwargs["build_if_missing"] = False
+        pp_kwargs["models_dir"] = str(mdir)
+        pp_kwargs["build_if_missing"] = False
 
     ds = ds.map_batches(
         _prepare_batch,
@@ -289,17 +301,18 @@ def quality_filter_dataset(
         from tiny_lingua_ray.stages.fast_langid import FastLangId
 
         ft_kwargs: dict = {"text_column": "extracted_text"}
-        try:
-            import ray
+        from tiny_lingua_ray.models.fast_text import ensure_fasttext_model
 
-            if ray.is_initialized():
-                from tiny_lingua_ray.models.fast_text import (
-                    ensure_fasttext_model,
-                )
+        if cfg.ship_models == "object_store":
+            try:
+                import ray
 
-                ft_kwargs["model_ref"] = ray.put(ensure_fasttext_model())
-        except ImportError:
-            pass
+                if ray.is_initialized():
+                    ft_kwargs["model_ref"] = ray.put(ensure_fasttext_model())
+            except ImportError:
+                pass
+        else:
+            ensure_fasttext_model()  # build once; actors mmap from disk
         ds = ds.map_batches(
             FastLangId,
             fn_constructor_kwargs=ft_kwargs,
@@ -318,6 +331,44 @@ def quality_filter_dataset(
     return ds
 
 
+def _write_partitioned_and_count(batch: pa.Table, out_data: str) -> pa.Table:
+    """Custom sink stage: write the batch's rows into hive-style
+    ``part_id=<k>/`` dirs and RETURN tiny per-(part_id, drop_reason) count
+    partials — per-partition metrics in the same pass, no output read-back."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    pids = batch.column("part_id").to_numpy(zero_copy_only=False)
+    parts: dict[int, np.ndarray] = {}
+    for k in np.unique(pids):
+        parts[int(k)] = pids == k
+    out_pid, out_reason, out_n = [], [], []
+    for k, mask in parts.items():
+        sub = batch.filter(pa.array(mask))
+        d = os.path.join(out_data, f"part_id={k}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            sub.drop_columns(["part_id"]),
+            os.path.join(d, f"{uuid.uuid4().hex}.parquet"),
+        )
+        reasons: dict[str, int] = {}
+        for r in sub.column("drop_reason").to_pylist():
+            reasons[r] = reasons.get(r, 0) + 1
+        for r, n in reasons.items():
+            out_pid.append(k)
+            out_reason.append(r)
+            out_n.append(n)
+    return pa.table(
+        {
+            "part_id": pa.array(out_pid, pa.int64()),
+            "drop_reason": pa.array(out_reason, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
 def run_quality_filter(
     input_path: str | Path,
     out_dir: str | Path,
@@ -326,6 +377,7 @@ def run_quality_filter(
 ) -> dict:
     """Execute with the resumable partitioned sink; returns summary metrics."""
     import ray.data as rd
+    from ray.data.aggregate import Sum
 
     cfg = cfg or QualityFilterConfig()
     out = Path(out_dir)
@@ -344,27 +396,36 @@ def run_quality_filter(
     result = quality_filter_dataset(
         ds, cfg, skip_partitions=frozenset(done)
     )
-    result.write_parquet(str(out / "data"), partition_cols=["part_id"])
+    # sink + metrics in ONE pass (the grouped result is <= K x reasons rows)
+    agg = (
+        result.map_batches(
+            _write_partitioned_and_count,
+            fn_kwargs={"out_data": str(out / "data")},
+            batch_format="pyarrow",
+            # large sink batches -> fewer files per partition dir
+            batch_size=max(cfg.batch_size, 4096),
+        )
+        .groupby(["part_id", "drop_reason"])
+        .aggregate(Sum("n", alias_name="count()"))
+        .to_pandas()
+    )
+    if "count()" not in agg.columns:  # nothing processed (all skipped)
+        import pandas as pd
 
-    # per-partition metrics over the (slim) freshly-written output
+        agg = pd.DataFrame(
+            {
+                "part_id": pd.Series(dtype="int64"),
+                "drop_reason": pd.Series(dtype="object"),
+                "count()": pd.Series(dtype="int64"),
+            }
+        )
+
     new_parts = sorted(set(range(cfg.num_partitions)) - done)
     lineage = {
         "input": str(input_path),
         "config": cfg.config_hash(),
         "written_at": time.time(),
     }
-    # Distributed aggregate over the slim projection; the grouped result is
-    # tiny (<= K x reasons rows) so to_pandas() is safe at any input scale.
-    metrics_ds = rd.read_parquet(
-        str(out / "data"), columns=["part_id", "keep", "drop_reason"]
-    )
-    agg = (
-        metrics_ds.groupby(["part_id", "drop_reason"])
-        .count()
-        .to_pandas()
-    )
-    # hive-partition values read back as strings; normalize to int
-    agg["part_id"] = agg["part_id"].astype(int)
     summary = {"rows": 0, "kept": 0, "partitions": cfg.num_partitions}
     for k in new_parts:
         g = agg[agg["part_id"] == k]

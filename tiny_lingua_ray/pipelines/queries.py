@@ -20,10 +20,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    kwargs = {}
+    if num_blocks:
+        # single small parquet files otherwise become one block -> one task;
+        # CPU-heavy per-row stages need the read split up front
+        kwargs["override_num_blocks"] = num_blocks
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, **kwargs
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -368,14 +375,14 @@ def q_quality_flags(sf_dir: str):
 def q_minhash_dedup(sf_dir: str):
     from tiny_lingua_ray.stages.dedup import minhash_lsh_candidates
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32)
     return minhash_lsh_candidates(ds)
 
 
 def q_simhash(sf_dir: str):
     from tiny_lingua_ray.stages.dedup import simhash_batch
 
-    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    return _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32).map_batches(
         simhash_batch, batch_format="pyarrow"
     )
 
@@ -383,7 +390,7 @@ def q_simhash(sf_dir: str):
 def q_fingerprint(sf_dir: str):
     from tiny_lingua_ray.stages.textstats import fingerprint_batch
 
-    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    return _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32).map_batches(
         fingerprint_batch, batch_format="pyarrow"
     )
 
@@ -395,7 +402,7 @@ def q_jaccard_pairs(sf_dir: str):
 
     from tiny_lingua_ray.stages.dedup import jaccard, minhash_lsh_candidates
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32)
     cands = minhash_lsh_candidates(docs).to_pandas()
     if len(cands) == 0:
         return pd.DataFrame(
@@ -539,6 +546,40 @@ def q_langid_fallback(sf_dir: str):
     )
 
 
+def q_multilang_sections(sf_dir: str):
+    """M9 multi-language sectioning over documents (rows-only)."""
+    import pyarrow.compute as _pc
+
+    from tiny_lingua_ray.multilang import MultiLangSections
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        secs = batch.column("sections").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_sections": pa.array(
+                    [len(s) for s in secs], pa.int64()
+                ),
+                "first_lang": pa.array(
+                    [s[0]["lang"] if s else "unknown" for s in secs],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            MultiLangSections,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+            num_cpus=1,
+        )
+        .map_batches(summarize, batch_format="pyarrow")
+    )
+
+
 def q_quality_filter_flagship(sf_dir: str):
     """The flagship pipeline over cc_pages synthesized from documents."""
     from tiny_lingua_ray.pipelines.quality_filter import (
@@ -604,6 +645,7 @@ QUERIES = {
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "langid_fallback": q_langid_fallback,
+    "multilang_sections": q_multilang_sections,
     "quality_filter_flagship": q_quality_filter_flagship,
 }
 

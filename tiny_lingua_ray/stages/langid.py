@@ -382,8 +382,8 @@ class LangIdScorer:
                 start = i + 1
         return start < b and cumb[b] - cumb[start] == 0 and cuml[b] - cuml[start] > 0
 
-    def _resolve_values(self, ngrams: list[str], n: int) -> np.ndarray:
-        """Cache row ids for each ngram's backoff-resolved logp vector."""
+    def _resolve_low(self, ngrams: list[str], n: int) -> np.ndarray:
+        """Cache row ids for 1-3-gram backoff-resolved logp vectors."""
         ids, missing = self.value_cache.rows_for(ngrams)
         if missing:
             V = len(missing)
@@ -408,6 +408,33 @@ class LangIdScorer:
             new_ids = self.value_cache.insert(missing, vals)
             ids[ids < 0] = new_ids
         return ids
+
+    def _values_for(self, ngrams: list[str], n: int) -> np.ndarray:
+        """[V, L] backoff-resolved values for this batch's n-gram vocab.
+
+        n<=3: via the (base + local) cache.  n>=4: resolved directly per
+        batch — start from the cached 3-gram-prefix values (which already
+        encode the 3->2->1 backoff) and override where the 5/4-gram tables
+        hit; 4/5-grams are NOT cached (their vocabulary never saturates,
+        so caching them was pure overhead)."""
+        if n <= 3:
+            return self.value_cache.gather(self._resolve_low(ngrams, n))
+        prefix3 = [g[:3] for g in ngrams]
+        ids3 = self._resolve_low(prefix3, 3)
+        vals = self.value_cache.gather(ids3)  # gather copies -> writable
+        decided = np.zeros(vals.shape, dtype=bool)
+        for level in range(n, 3, -1):
+            hashes = np.fromiter(
+                (fnv1a_64(g[:level]) for g in ngrams),
+                dtype=np.uint64,
+                count=len(ngrams),
+            )
+            for li, pm in enumerate(self.models):
+                got = pm.lookup(hashes, level)
+                hit = ~np.isnan(got) & ~decided[:, li]
+                vals[hit, li] = got[hit]
+                decided[hit, li] = True
+        return vals
 
     def _unigram_hits(self, ngrams: list[str]) -> np.ndarray:
         """bool[V, L]: exact unigram presence (J2, no backoff)."""
@@ -473,8 +500,6 @@ class LangIdScorer:
 
             if not order:
                 continue
-            cache_ids = self._resolve_values(order, n)
-
             concat = np.asarray(concat_ids, dtype=np.int64)
             lens = np.diff(offsets)
             nz = lens > 0
@@ -482,13 +507,11 @@ class LangIdScorer:
             if len(keep) == 0:
                 continue
             nkeep = len(keep)
-            # segment-sum via one gather + per-language bincount (much
-            # faster than reduceat-axis0 for wide 2D arrays)
             row_ids = np.repeat(np.arange(nkeep), lens[keep])
-            # batch-vocab gather, then COLUMN-wise expand+bincount: avoids
+            # batch-vocab values, then COLUMN-wise expand+bincount: avoids
             # materializing a [C, L] matrix (large fresh allocations are
             # pathologically slow on this host)
-            P = np.asfortranarray(self.value_cache.gather(cache_ids))
+            P = np.asfortranarray(self._values_for(order, n))
             S = np.empty((nkeep, self.L), dtype=np.float64)
             for li in range(self.L):
                 S[:, li] = np.bincount(
