@@ -138,7 +138,9 @@ def build_resolved_cache(models_dir: Path, languages=ALL_ISO1) -> Path:
     import pyarrow.parquet as pq
 
     out_dir = Path(models_dir) / RESOLVED_CACHE_DIR
-    if (out_dir / "languages.npy").exists():
+    if (out_dir / "languages.npy").exists() and (
+        out_dir / "packed_low_hash.npy"
+    ).exists():
         try:
             langs = np.load(out_dir / "languages.npy", allow_pickle=False)
             if list(langs) == list(languages):
@@ -166,6 +168,17 @@ def build_resolved_cache(models_dir: Path, languages=ALL_ISO1) -> Path:
     _save_npy(out_dir / "uni_matrix.npy", uni_matrix)
     _save_npy(out_dir / "uni_ngrams.npy", np.array(unigrams))
     _save_npy(out_dir / "languages.npy", np.array(languages))
+
+    # Concatenated packed tables: one mmap per array instead of 150
+    # per-language parquet reads at every actor init.
+    for tier in ("low", "high"):
+        hashes = [getattr(packed[l], f"{tier}_hash") for l in languages]
+        logps = [getattr(packed[l], f"{tier}_logp") for l in languages]
+        offs = np.zeros(len(languages) + 1, dtype=np.int64)
+        np.cumsum([len(h) for h in hashes], out=offs[1:])
+        _save_npy(out_dir / f"packed_{tier}_hash.npy", np.concatenate(hashes))
+        _save_npy(out_dir / f"packed_{tier}_logp.npy", np.concatenate(logps))
+        _save_npy(out_dir / f"packed_{tier}_offsets.npy", offs)
     return out_dir
 
 
@@ -194,11 +207,52 @@ def load_resolved_cache(models_dir: Path) -> dict | None:
         return None
 
 
+def load_packed_models_fast(
+    models_dir: Path, languages=ALL_ISO1, orders: str = "all"
+) -> dict[str, PackedModel] | None:
+    """Zero-copy per-language views over the concatenated mmap'd tables
+    written by build_resolved_cache; None if absent/mismatched."""
+    d = Path(models_dir) / RESOLVED_CACHE_DIR
+    if not (d / "packed_low_hash.npy").exists():
+        return None
+    try:
+        langs = [str(x) for x in np.load(d / "languages.npy", allow_pickle=False)]
+        if langs != list(languages):
+            return None
+        out: dict[str, PackedModel] = {}
+        tiers = {}
+        for tier in ("low", "high"):
+            tiers[tier] = (
+                np.load(d / f"packed_{tier}_hash.npy", allow_pickle=False,
+                        mmap_mode="r"),
+                np.load(d / f"packed_{tier}_logp.npy", allow_pickle=False,
+                        mmap_mode="r"),
+                np.load(d / f"packed_{tier}_offsets.npy", allow_pickle=False),
+            )
+        empty_u = np.empty(0, dtype=np.uint64)
+        empty_f = np.empty(0, dtype=np.float64)
+        for i, lang in enumerate(langs):
+            lo_h, lo_p, lo_o = tiers["low"]
+            hi_h, hi_p, hi_o = tiers["high"]
+            out[lang] = PackedModel(
+                lo_h[lo_o[i] : lo_o[i + 1]],
+                lo_p[lo_o[i] : lo_o[i + 1]],
+                hi_h[hi_o[i] : hi_o[i + 1]] if orders == "all" else empty_u,
+                hi_p[hi_o[i] : hi_o[i + 1]] if orders == "all" else empty_f,
+            )
+        return out
+    except (OSError, ValueError):
+        return None
+
+
 def load_packed_models(
     models_dir: Path,
     languages=ALL_ISO1,
     orders: str = "all",
 ) -> dict[str, PackedModel]:
+    fast = load_packed_models_fast(models_dir, languages, orders)
+    if fast is not None:
+        return fast
     packed: dict[str, PackedModel] = {}
     empty_u = np.empty(0, dtype=np.uint64)
     empty_f = np.empty(0, dtype=np.float64)

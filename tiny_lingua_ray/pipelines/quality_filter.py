@@ -133,20 +133,26 @@ def _finalize_batch(batch: pa.Table, cfg: QualityFilterConfig) -> pa.Table:
     qflags = batch.column("quality_flags").to_numpy()
     pp = batch.column("perplexity").to_numpy()
 
-    allowed = frozenset(cfg.allowed_langs) if cfg.allowed_langs else None
-    keep = np.ones(R, dtype=bool)
-    reason = np.full(R, DROP_NONE, dtype=object)
-    for r in range(R):
-        if not extract_ok[r]:
-            keep[r], reason[r] = False, DROP_EXTRACT
-        elif pred[r] == "unknown":
-            keep[r], reason[r] = False, DROP_LANG
-        elif allowed is not None and pred[r] not in allowed:
-            keep[r], reason[r] = False, DROP_LANG_NOT_ALLOWED
-        elif qflags[r] & cfg.quality_drop_mask:
-            keep[r], reason[r] = False, DROP_QUALITY
-        elif not np.isnan(pp[r]) and pp[r] > cfg.max_perplexity:
-            keep[r], reason[r] = False, DROP_PERPLEXITY
+    pred_arr = np.asarray(pred, dtype=object)
+    bad_extract = ~extract_ok
+    bad_lang = pred_arr == "unknown"
+    if cfg.allowed_langs:
+        bad_allowed = ~np.isin(
+            pred_arr.astype(str), np.asarray(cfg.allowed_langs)
+        ) & ~bad_lang
+    else:
+        bad_allowed = np.zeros(R, dtype=bool)
+    bad_quality = (qflags & cfg.quality_drop_mask) != 0
+    bad_pp = ~np.isnan(pp) & (pp > cfg.max_perplexity)
+    # precedence: extract > lang > allowed > quality > perplexity
+    reason_arr = np.select(
+        [bad_extract, bad_lang, bad_allowed, bad_quality, bad_pp],
+        [DROP_EXTRACT, DROP_LANG, DROP_LANG_NOT_ALLOWED, DROP_QUALITY,
+         DROP_PERPLEXITY],
+        default=DROP_NONE,
+    )
+    keep = reason_arr == DROP_NONE
+    reason = reason_arr
 
     batch = batch.append_column("keep", pa.array(keep)).append_column(
         "drop_reason", pa.array(reason.tolist(), pa.string())

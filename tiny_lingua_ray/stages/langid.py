@@ -456,21 +456,20 @@ class LangIdScorer:
             out[i] = self.uni_hit_cache[g]
         return out
 
-    def _score_rows(self, idx_todo, cleaned_list, cand_mask, pred, margin, path):
-        R = len(idx_todo)
-        totals = np.zeros((R, self.L), dtype=np.float64)
-        uni_counts = np.zeros((R, self.L), dtype=np.int64)
-        s1_nonzero = np.zeros((R, self.L), dtype=bool)
-
-        # group rows by ngram regime
+    def _score_group(
+        self, ks, idx_todo, cleaned_list, col_idx,
+        totals, uni_counts, s1_nonzero,
+    ):
+        """Score one candidate-mask group over its language columns only."""
         long_rows = []
         short_rows = []
-        for k, r in enumerate(idx_todo):
-            cl = cleaned_list[r]
+        for k in ks:
+            cl = cleaned_list[idx_todo[k]]
             if len(cl) >= HIGH_ACCURACY_MODE_MAX_TEXT_LENGTH or self.low_accuracy:
                 long_rows.append(k)
             else:
                 short_rows.append(k)
+        cjk_sub = self.cjk_mask[col_idx]
 
         for n in range(1, 6):
             rows_n = (
@@ -480,15 +479,12 @@ class LangIdScorer:
             )
             if not rows_n:
                 continue
-            # batch vocabulary for this n
-            per_row_ngrams: list[list[str]] = []
             vocab: dict[str, int] = {}
             concat_ids: list[int] = []
             offsets = [0]
             order: list[str] = []
             for k in rows_n:
                 ngs = extract_unique_ngrams(cleaned_list[idx_todo[k]], n)
-                per_row_ngrams.append(ngs)
                 for g in ngs:
                     j = vocab.get(g)
                     if j is None:
@@ -502,39 +498,66 @@ class LangIdScorer:
                 continue
             concat = np.asarray(concat_ids, dtype=np.int64)
             lens = np.diff(offsets)
-            nz = lens > 0
-            keep = np.nonzero(nz)[0]
+            keep = np.nonzero(lens > 0)[0]
             if len(keep) == 0:
                 continue
             nkeep = len(keep)
+            ncols = len(col_idx)
             row_ids = np.repeat(np.arange(nkeep), lens[keep])
-            # batch-vocab values, then COLUMN-wise expand+bincount: avoids
-            # materializing a [C, L] matrix (large fresh allocations are
-            # pathologically slow on this host)
-            P = np.asfortranarray(self._values_for(order, n))
-            S = np.empty((nkeep, self.L), dtype=np.float64)
-            for li in range(self.L):
-                S[:, li] = np.bincount(
-                    row_ids, weights=P[:, li][concat], minlength=nkeep
+            # batch-vocab values (candidate columns only), then COLUMN-wise
+            # expand+bincount: avoids materializing a [C, L] matrix (large
+            # fresh allocations are pathologically slow on this host)
+            P = np.asfortranarray(self._values_for(order, n)[:, col_idx])
+            S = np.empty((nkeep, ncols), dtype=np.float64)
+            for ci in range(ncols):
+                S[:, ci] = np.bincount(
+                    row_ids, weights=P[:, ci][concat], minlength=nkeep
                 )
 
             # CJK factor per (lang, n) partial sum (LanguageDetector.kt:565-574)
             neg = S < 0
-            S = np.where(neg & self.cjk_mask[None, :], S * CJK_PROBABILITY_FACTOR, S)
+            S = np.where(neg & cjk_sub[None, :], S * CJK_PROBABILITY_FACTOR, S)
             S = np.where(neg, S, 0.0)  # only negative sums contribute
 
             krows = np.asarray(rows_n, dtype=np.int64)[keep]
-            totals[krows] += S
+            totals[np.ix_(krows, col_idx)] += S
 
             if n == 1:
-                Hm = np.asfortranarray(self._unigram_hits(order))  # [V, L]
-                C = np.empty((nkeep, self.L), dtype=np.int64)
-                for li in range(self.L):
-                    C[:, li] = np.bincount(
-                        row_ids, weights=Hm[:, li][concat], minlength=nkeep
+                Hm = np.asfortranarray(
+                    self._unigram_hits(order)[:, col_idx]
+                )
+                C = np.empty((nkeep, ncols), dtype=np.int64)
+                for ci in range(ncols):
+                    C[:, ci] = np.bincount(
+                        row_ids, weights=Hm[:, ci][concat], minlength=nkeep
                     )
-                uni_counts[krows] = C
-                s1_nonzero[krows] = neg
+                uni_counts[np.ix_(krows, col_idx)] = C
+                s1_nonzero[np.ix_(krows, col_idx)] = neg
+
+    def _score_rows(self, idx_todo, cleaned_list, cand_mask, pred, margin, path):
+        R = len(idx_todo)
+        totals = np.zeros((R, self.L), dtype=np.float64)
+        uni_counts = np.zeros((R, self.L), dtype=np.int64)
+        s1_nonzero = np.zeros((R, self.L), dtype=bool)
+
+        # Group rows by candidate-language mask: the expand+bincount cost is
+        # O(occurrences x languages), and rule filtering typically leaves
+        # few candidates for non-Latin scripts (Cyrillic 8, Arabic 3, ...),
+        # so scoring each group over only its candidate columns cuts the
+        # dominant memory traffic substantially.
+        mask_groups: dict[bytes, list[int]] = {}
+        for k, r in enumerate(idx_todo):
+            mask_groups.setdefault(
+                np.asarray(cand_mask[r]).tobytes(), []
+            ).append(k)
+        for mask_key, ks in mask_groups.items():
+            col_idx = np.nonzero(np.frombuffer(mask_key, dtype=bool))[0]
+            if len(col_idx) == 0:
+                continue
+            self._score_group(
+                ks, idx_todo, cleaned_list, col_idx,
+                totals, uni_counts, s1_nonzero,
+            )
 
         # unigram normalization (LanguageDetector.kt:344-362):
         # count only languages with nonzero n=1 probability sum (or all
