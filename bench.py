@@ -141,7 +141,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_HEADLINE_ONLY="1",
             # larger corpus for the scaling runs so per-run fixed costs
             # (session + pool startup) don't masquerade as poor scaling
-            GRAFT_CC_ROWS=os.environ.get("GRAFT_SCALING_ROWS", "400000"),
+            GRAFT_CC_ROWS=os.environ.get("GRAFT_SCALING_ROWS", "800000"),
         )
         out = subprocess.run(
             [sys.executable, __file__],
