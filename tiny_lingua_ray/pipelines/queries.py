@@ -144,15 +144,30 @@ def q_topk_orders(sf_dir: str):
 
 
 def q_distinct_users_per_event(sf_dir: str):
-    """COUNT(DISTINCT ...) as two-level groupby (no driver-side set)."""
-    from ray.data.aggregate import Count
+    """COUNT(DISTINCT ...): per-batch distinct partials -> shard-grouped
+    pandas dedup -> small final groupby (high-cardinality ray aggregates
+    pay per-group Python overhead, so the wide dedup step avoids them)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        df["shard"] = df["user_id"] % 16
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def distinct_in_shard(df):
+        d = df.drop_duplicates(["event_type", "user_id"])
+        g = d.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        return g
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
     return (
-        ds.groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="_c"))
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("shard")
+        .map_groups(distinct_in_shard, batch_format="pandas")
         .groupby("event_type")
-        .aggregate(Count(alias_name="n_users"))
+        .aggregate(Sum("n_users", alias_name="n_users"))
     )
 
 

@@ -122,19 +122,28 @@ NUM_BUCKET_GROUPS = 32
 def _pairs_in_partition(df, id_column: str = "doc_id"):
     """Pairing over MANY buckets at once (pandas-C groupby inside one Ray
     group) — amortizes Ray's per-group overhead over thousands of tiny LSH
-    buckets ("bucket the buckets")."""
+    buckets ("bucket the buckets").  Emits pre-deduped (pair_key, n)
+    partials: a single packed int64 key keeps the downstream shuffle cheap
+    (Ray's multi-column groupby aggregate is far slower)."""
     import pandas as pd
 
-    a_out: list[int] = []
-    b_out: list[int] = []
+    keys: list[int] = []
     for _, g in df.groupby(["band", "bucket"], sort=False):
         ids = sorted(set(g[id_column].tolist()))[:MAX_BUCKET]
         n = len(ids)
         for i in range(n):
+            a = ids[i] << 32
             for j in range(i + 1, n):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-    return pd.DataFrame({"id_a": a_out, "id_b": b_out})
+                keys.append(a | ids[j])
+    if not keys:
+        return pd.DataFrame(
+            {"pair_key": pd.Series(dtype="int64"),
+             "n": pd.Series(dtype="int64")}
+        )
+    s = pd.Series(keys, dtype="int64").value_counts()
+    return pd.DataFrame(
+        {"pair_key": s.index.to_numpy(), "n": s.to_numpy()}
+    )
 
 
 def jaccard(text_a: str, text_b: str, k: int = SHINGLE_K) -> float:
@@ -199,19 +208,22 @@ def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id"):
             {
                 id_column: batch.column(id_column),
                 "content_hash": pa.array(h.astype(np.int64)),
+                "shard": pa.array((h % np.uint64(32)).astype(np.int64)),
             }
         )
 
-    from ray.data.aggregate import Count, Min
+    # groupby(shard).map_groups + pandas-C per-shard dedup: ray's
+    # aggregate pays per-group Python overhead at high key cardinality
+    def dedup_shard(df):
+        g = df.groupby("content_hash", as_index=False).agg(
+            **{id_column: (id_column, "min"), "dup_count": (id_column, "size")}
+        )
+        return g[[id_column, "dup_count"]]
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("content_hash")
-        .aggregate(
-            Min(id_column, alias_name=id_column),
-            Count(alias_name="dup_count"),
-        )
-        .drop_columns(["content_hash"])
+        .groupby("shard")
+        .map_groups(dedup_shard, batch_format="pandas")
     )
 
 
@@ -243,10 +255,34 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
         batch_format="pandas",
         fn_kwargs={"id_column": id_column},
     )
-    # the same pair can emerge from several bands -> dedupe
-    from ray.data.aggregate import Count
+    # The same pair can emerge from several bands -> merge the partials.
+    # NOT ray groupby().aggregate(): with high key cardinality it pays
+    # per-GROUP Python overhead (~150 s for 110k pairs).  Instead shuffle
+    # into a few coarse shards and merge each shard with a pandas-C groupby.
+    def add_shard(batch: pa.Table) -> pa.Table:
+        k = batch.column("pair_key").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array((k % 16).astype(np.int64))
+        )
 
-    return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_bands"))
+    def merge_shard(df):
+        g = df.groupby("pair_key", as_index=False)["n"].sum()
+        return g.rename(columns={"n": "n_bands"})
+
+    merged = (
+        pairs.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(merge_shard, batch_format="pandas")
     )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch.column("pair_key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(k >> 32, pa.int64()),
+                "id_b": pa.array(k & 0xFFFFFFFF, pa.int64()),
+                "n_bands": batch.column("n_bands"),
+            }
+        )
+
+    return merged.map_batches(unpack, batch_format="pyarrow")
