@@ -33,6 +33,21 @@ def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
     )
 
 
+
+_MODELS_READY = False
+
+
+def _ensure_models_once():
+    """Build model artifacts driver-side BEFORE spawning actor pools (an
+    actor-side build would run once per actor and serialize the query)."""
+    global _MODELS_READY
+    if not _MODELS_READY:
+        from tiny_lingua_ray.models.train import ensure_models
+
+        ensure_models()
+        _MODELS_READY = True
+
+
 # ---------------------------------------------------------------------------
 # Relational core (TPC-H-ish)
 # ---------------------------------------------------------------------------
@@ -332,6 +347,7 @@ def q_pii_scrub(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_langid(sf_dir: str):
+    _ensure_models_once()
     from tiny_lingua_ray.stages.langid import LangIdScorer
 
     return (
@@ -348,6 +364,7 @@ def q_langid(sf_dir: str):
 
 
 def q_perplexity(sf_dir: str):
+    _ensure_models_once()
     from tiny_lingua_ray.stages.langid import LangIdScorer
     from tiny_lingua_ray.stages.perplexity import PerplexityScorer
 
@@ -537,6 +554,7 @@ def q_cosine_near_dup(sf_dir: str):
 
 
 def q_langid_fallback(sf_dir: str):
+    _ensure_models_once()
     """LangId + fastText-style fallback chain over documents."""
     from tiny_lingua_ray.stages.fast_langid import FastLangId
     from tiny_lingua_ray.stages.langid import LangIdScorer
@@ -562,6 +580,7 @@ def q_langid_fallback(sf_dir: str):
 
 
 def q_multilang_sections(sf_dir: str):
+    _ensure_models_once()
     """M9 multi-language sectioning over documents (rows-only)."""
     import pyarrow.compute as _pc
 
