@@ -246,6 +246,10 @@ class LangIdScorer:
             self.value_cache = _ValueCache(self.L)
             self.uni_hit_cache = {}
 
+        from tiny_lingua_ray.stages.fast_rules import FastRules
+
+        self.fast_rules = FastRules(self.lang_set)
+
     # ------------------------------------------------------------------ #
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -286,7 +290,8 @@ class LangIdScorer:
         resolved_by_rules = np.zeros(R, dtype=bool)
 
         if len(raw_cps):
-            is_lat = self.script_table[raw_cps] == self.latin_id
+            scripts_all = self.script_table[raw_cps]
+            is_lat = scripts_all == self.latin_id
             is_space = raw_cps == 0x20
             bad = ~is_lat & ~is_space
             cumb = np.concatenate(([0], np.cumsum(bad)))
@@ -308,14 +313,21 @@ class LangIdScorer:
                 else:
                     cand_mask[r] = self.all_mask
             else:
-                words = split_words(raw)
-                rule_lang = detect_language_with_rules(words, self.lang_set)
+                a, b = raw_offs[r], raw_offs[r + 1]
+                cps_row = raw_cps[a:b]
+                scr_row = scripts_all[a:b]
+                spans = self.fast_rules.word_spans(cps_row, scr_row)
+                rule_lang = self.fast_rules.detect_with_rules(
+                    cps_row, scr_row, spans
+                )
                 if rule_lang != UNKNOWN:
                     pred[r] = rule_lang
                     path[r] = PATH_RULE
                     resolved_by_rules[r] = True
                     continue
-                filtered = filter_languages_by_rules(words, self.lang_set)
+                filtered = self.fast_rules.filter_by_rules(
+                    cps_row, scr_row, spans
+                )
                 if len(filtered) == 1:
                     pred[r] = next(iter(filtered))
                     path[r] = PATH_SINGLE
