@@ -186,6 +186,30 @@ def q_distinct_users_per_event(sf_dir: str):
     )
 
 
+def q_user_sessions(sf_dir: str):
+    """Session windows (30-min gap) per user: partition by key, sort by ts
+    inside the group, windowing in pandas — the engine's streaming-shaped
+    pattern (ordered, partitioned log; no event-time watermarks in Ray)."""
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].astype("int64").to_numpy()
+        new_session = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_session[1:] = (np.diff(ts) > GAP_US).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(ts)],
+                "n_sessions": [int(new_session.sum())],
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 def q_events_daily(sf_dir: str):
     """Per (event_type, day) count + sum(value): timestamp kernels + partials."""
 
@@ -388,7 +412,7 @@ def q_perplexity(sf_dir: str):
             batch_format="pyarrow",
             batch_size=1024,
             concurrency=2,
-            num_cpus=1,
+            num_cpus=0.5,  # second pool: never starve task operators
         )
         .map_batches(round_pp, batch_format="pyarrow")
     )
@@ -573,7 +597,7 @@ def q_langid_fallback(sf_dir: str):
             batch_format="pyarrow",
             batch_size=1024,
             concurrency=2,
-            num_cpus=1,
+            num_cpus=0.5,  # second pool: never starve task operators
         )
         .select_columns(["doc_id", "pred_lang", "lang_final"])
     )
@@ -659,6 +683,7 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "distinct_users_per_event": q_distinct_users_per_event,
     "events_daily": q_events_daily,
+    "user_sessions": q_user_sessions,
     "doc_stats": q_doc_stats,
     "clean_text": q_clean_text,
     "token_counts": q_token_counts,
@@ -715,6 +740,18 @@ ORACLE = {
         SELECT event_type, date_trunc('day', ts) AS day,
                COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
         FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+    "user_sessions": """
+        WITH ordered AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events)
+        SELECT user_id, COUNT(*) AS n_events,
+               SUM(new_session) AS n_sessions
+        FROM ordered GROUP BY user_id
     """,
     "doc_stats": """
         SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
