@@ -49,7 +49,12 @@ from tiny_lingua_ray.languages import (
     UNKNOWN,
 )
 from tiny_lingua_ray.models.loader import PackedModel, load_packed_models
-from tiny_lingua_ray.models.train import default_models_dir, ensure_models, fnv1a_64
+from tiny_lingua_ray.models.train import (
+    default_models_dir,
+    ensure_models,
+    fnv1a_64,
+    fnv1a_64_batch,
+)
 
 # lang_path codes (emitted per row for metrics / debugging)
 PATH_EMPTY = 0      # cleaned text empty or letterless
@@ -403,12 +408,7 @@ class LangIdScorer:
             # probe level n down to 1; first hit wins (Ngram.kt:44-52 —
             # truncate the suffix, keep the prefix)
             for level in range(n, 0, -1):
-                prefixes = [g[:level] for g in missing]
-                hashes = np.fromiter(
-                    (fnv1a_64(p) for p in prefixes),
-                    dtype=np.uint64,
-                    count=V,
-                )
+                hashes = fnv1a_64_batch([g[:level] for g in missing])
                 for li, pm in enumerate(self.models):
                     col = vals[:, li]
                     unresolved = np.isnan(col)
@@ -436,11 +436,7 @@ class LangIdScorer:
         vals = self.value_cache.gather(ids3)  # gather copies -> writable
         decided = np.zeros(vals.shape, dtype=bool)
         for level in range(n, 3, -1):
-            hashes = np.fromiter(
-                (fnv1a_64(g[:level]) for g in ngrams),
-                dtype=np.uint64,
-                count=len(ngrams),
-            )
+            hashes = fnv1a_64_batch([g[:level] for g in ngrams])
             for li, pm in enumerate(self.models):
                 got = pm.lookup(hashes, level)
                 hit = ~np.isnan(got) & ~decided[:, li]
@@ -456,9 +452,7 @@ class LangIdScorer:
         ]
         if missing_idx:
             miss = [ngrams[i] for i in missing_idx]
-            hashes = np.fromiter(
-                (fnv1a_64(g) for g in miss), dtype=np.uint64, count=len(miss)
-            )
+            hashes = fnv1a_64_batch(miss)
             vals = np.empty((len(miss), self.L), dtype=bool)
             for li, pm in enumerate(self.models):
                 vals[:, li] = ~np.isnan(pm.lookup(hashes, 1))
