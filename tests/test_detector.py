@@ -179,3 +179,15 @@ def test_corpus_sample_accuracy(small_models_dir):
             tot += 1
             ok += det.detect(ln) == lang
     assert ok / tot > 0.95
+
+
+def test_builder_validations(small_models_dir):
+    """api/LanguageDetectorBuilder.kt:39-75 parity."""
+    models = load_dict_models(small_models_dir, ("en", "de"))
+    with pytest.raises(ValueError):
+        LinguaDetector(models, languages=("en",))
+    with pytest.raises(ValueError):
+        LinguaDetector(models, minimum_relative_distance=1.5)
+    with pytest.raises(ValueError):
+        LinguaDetector(models, minimum_relative_distance=-0.1)
+    LinguaDetector(models, minimum_relative_distance=0.99)  # boundary ok

@@ -274,6 +274,15 @@ class LinguaDetector:
     ):
         self.models = models
         self.languages = frozenset(languages) if languages else frozenset(models)
+        # builder validations (api/LanguageDetectorBuilder.kt:39-75)
+        if len(self.languages) < 2:
+            raise ValueError(
+                "LanguageDetector needs at least 2 languages to choose from"
+            )
+        if not 0.0 <= minimum_relative_distance <= 0.99:
+            raise ValueError(
+                "minimum relative distance must lie in between 0.0 and 0.99"
+            )
         self.minimum_relative_distance = minimum_relative_distance
         self.low_accuracy = low_accuracy
 

@@ -4,20 +4,25 @@
       -> fused stateless map_batches: extract html->text, verify
          byte-identity per url, assign part_id=hash(url)%K,
          filter already-completed partitions (resume)
-      -> map_batches(LangIdScorer, actor pool)               [stateful]
-      -> map_batches(PerplexityScorer, actor pool)           [stateful]
+      -> map_batches(LangIdScorer, actor pool)               [stateful,
+         fused perplexity scoring by default]
+      -> map_batches(FastLangId, light actor pool)           [fallback]
       -> fused stateless map_batches: quality rules + PII/toxicity scrub
          + keep/drop decision
-      -> write_parquet(out/data, partition_cols=["part_id"]) [resumable]
-      -> per-partition metrics + lineage manifests
+      -> custom sink: hive-partitioned parquet write that RETURNS
+         per-(partition, drop_reason) count partials          [resumable]
+      -> tiny groupby -> per-partition metrics + lineage manifests
 
 Reference lifecycle parity: SURVEY.md §3.4.  The per-record semantics of
 the langid stage reproduce api/LanguageDetector.kt:221-286.
 
-Scale notes: stateless stages are task pools (elastic); the two model
-stages are actor pools whose packed models are shipped once per node via
-a ``ray.put`` ObjectRef; the only wide operation is the final partitioned
-write plus a small metrics groupby over the (tiny) output projection.
+Scale notes: stateless stages are task pools (elastic); model state is
+shipped per NODE — mmap'd from a shared filesystem by default
+(``ship_models="disk"``) or via one ``ray.put`` ObjectRef
+(``"object_store"``) for clusters without shared storage; the only wide
+operation is the metrics groupby over count partials (<= K x reasons
+rows).  Pool sizes are capped against cluster CPUs so actor pools can
+never starve the task operators.
 """
 
 from __future__ import annotations

@@ -17,8 +17,9 @@ Scale design:
   across batches in the actor (the n-gram universe is small and heavy-tailed,
   so steady-state batches only fancy-index a cache matrix + reduceat).
 * rows whose chars are plain Latin take a fully-vectorized fast path for the
-  rule engine; rows with CJK/diacritic/non-Latin chars use the exact
-  per-row rule functions from ``detector.py``.
+  rule engine; rows with CJK/diacritic/non-Latin chars use the table-driven
+  exact rule engine (``stages/fast_rules.py``, parity-tested against
+  ``detector.py``).
 """
 
 from __future__ import annotations
@@ -30,9 +31,6 @@ from tiny_lingua_ray.detector import (
     CJK_PROBABILITY_FACTOR,
     HIGH_ACCURACY_MODE_MAX_TEXT_LENGTH,
     clean_up_input_text,
-    detect_language_with_rules,
-    filter_languages_by_rules,
-    split_words,
 )
 from tiny_lingua_ray.fast_tables import (
     SCRIPT_ID,
@@ -52,7 +50,6 @@ from tiny_lingua_ray.models.loader import PackedModel, load_packed_models
 from tiny_lingua_ray.models.train import (
     default_models_dir,
     ensure_models,
-    fnv1a_64,
     fnv1a_64_batch,
 )
 
