@@ -85,3 +85,49 @@ def test_scorer_appends_expected_columns(pair):
         "lang_margin",
         "lang_path",
     ]
+
+
+def test_full_model_fast_path_short_texts(models_dir):
+    """Regression: the packed concatenated model tables (fast load path for
+    the full language set) must include the 4/5-gram tier — the scorer on
+    SHORT texts (<120 chars, 1..5-gram path) must match the pure detector
+    loaded from the parquet tables."""
+    from tiny_lingua_ray.detector import LinguaDetector
+    from tiny_lingua_ray.models.loader import (
+        load_dict_models,
+        load_packed_models_fast,
+    )
+
+    packed = load_packed_models_fast(models_dir)
+    assert packed is not None, "fast path should be available after build"
+    assert len(packed["en"].high_hash) > 0, "4/5-gram tier must not be empty"
+
+    det = LinguaDetector(load_dict_models(models_dir))
+    scorer = LangIdScorer(models_dir=str(models_dir), build_if_missing=False)
+    texts = [
+        "hola mundo como estas amigo",
+        "short test",
+        "guten tag",
+        "bonjour tout le monde",
+        "ciao bella",
+        "dobry den",
+    ]
+    out = scorer(pa.table({"text": texts}))
+    for t, p in zip(texts, out.column("pred_lang").to_pylist()):
+        assert p == det.detect(t), f"{t!r}: scorer={p} pure={det.detect(t)}"
+
+
+def test_single_latin_language_fast_path(models_dir):
+    """Rule filtering to exactly ONE candidate must short-circuit with
+    confidence 1.0 on the vectorized all-Latin fast path too
+    (LanguageDetector.kt:239-241)."""
+    from tiny_lingua_ray.stages.langid import PATH_SINGLE
+
+    scorer = LangIdScorer(
+        models_dir=str(models_dir),
+        languages=("tn", "ar"),
+        build_if_missing=False,
+    )
+    out = scorer(pa.table({"text": ["qq qq qq"]}))
+    assert out.column("pred_lang").to_pylist() == ["tn"]
+    assert out.column("lang_path").to_pylist() == [PATH_SINGLE]

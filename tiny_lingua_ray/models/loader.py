@@ -118,7 +118,7 @@ def unigram_hit_matrix(
     return out
 
 
-RESOLVED_CACHE_DIR = "resolved_cache"
+RESOLVED_CACHE_DIR = "resolved_cache_v2"  # v2: packed high tier was empty in v1
 
 
 def _save_npy(path: Path, arr: np.ndarray) -> None:
@@ -157,7 +157,10 @@ def build_resolved_cache(models_dir: Path, languages=ALL_ISO1) -> Path:
         for g in t.column("ngram").to_pylist():
             union[g] = None
     ngrams = list(union)
-    packed = load_packed_models(Path(models_dir), languages, orders="low")
+    # orders="all": the concatenated packed tables below must include the
+    # 4/5-gram tier (loading "low" here once silently produced empty high
+    # tables for every fast-path consumer)
+    packed = load_packed_models(Path(models_dir), languages, orders="all")
     models = [packed[l] for l in languages]
     matrix = resolve_backoff_values(models, ngrams)
     unigrams = [g for g in ngrams if len(g) == 1]

@@ -100,22 +100,14 @@ def _prepare_batch(
     batch: pa.Table, num_partitions: int, skip: frozenset[int]
 ) -> pa.Table:
     """Fused: extract + byte-identity check + part_id + resume filter."""
+    import pyarrow.compute as pc
+
     batch = extract_batch(batch, drop_html=True)
     urls = batch.column("url").to_pylist()
     pids = partition_ids(urls, num_partitions)
-    ok = pa.array(
-        np.array(
-            [
-                a == b
-                for a, b in zip(
-                    batch.column("extracted_text").to_pylist(),
-                    batch.column("text").to_pylist(),
-                )
-            ]
-        )
-    )
+    ok = pc.equal(batch.column("extracted_text"), batch.column("text"))
     batch = batch.append_column("part_id", pa.array(pids)).append_column(
-        "extract_ok", ok
+        "extract_ok", pc.fill_null(ok, False)
     )
     batch = batch.drop_columns(["text"])
     if skip:

@@ -62,14 +62,16 @@ def _load_corpus_texts() -> list[tuple[str, str]]:
     return out
 
 
-def _zipf_domain(i: int, n_domains: int = 50) -> str:
+_N_DOMAINS = 50
+_ZIPF_WEIGHTS = 1.0 / np.arange(1, _N_DOMAINS + 1)
+_ZIPF_CDF = np.cumsum(_ZIPF_WEIGHTS) / _ZIPF_WEIGHTS.sum()
+
+
+def _zipf_domain(i: int) -> str:
     # deterministic Zipf-ish skew: domain j picked with weight ~ 1/(j+1)
     h = int.from_bytes(hashlib.sha1(f"dom{i}".encode()).digest()[:8], "big")
-    # inverse-CDF over harmonic weights
-    weights = 1.0 / np.arange(1, n_domains + 1)
-    cdf = np.cumsum(weights) / weights.sum()
     u = (h % 10**9) / 10**9
-    j = int(np.searchsorted(cdf, u))
+    j = int(np.searchsorted(_ZIPF_CDF, u))
     return f"site-{j}.example"
 
 

@@ -103,19 +103,6 @@ def explode_bands(batch: pa.Table, id_column: str = "doc_id") -> pa.Table:
     )
 
 
-def bucket_pairs(group, id_column: str = "doc_id"):
-    """map_groups fn: unique sorted candidate pairs within one LSH bucket."""
-    import pandas as pd
-
-    ids = sorted(set(group[id_column].tolist()))[:MAX_BUCKET]
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"id_a": a, "id_b": b})
-
-
 NUM_BUCKET_GROUPS = 32
 
 
@@ -127,6 +114,8 @@ def _pairs_in_partition(df, id_column: str = "doc_id"):
     (Ray's multi-column groupby aggregate is far slower)."""
     import pandas as pd
 
+    # pair key packs two ids into a uint64 (requires doc ids < 2^32;
+    # beyond that, switch the key to fnv1a_64(f"{a}:{b}"))
     keys: list[int] = []
     for _, g in df.groupby(["band", "bucket"], sort=False):
         ids = sorted(set(g[id_column].tolist()))[:MAX_BUCKET]
@@ -137,12 +126,12 @@ def _pairs_in_partition(df, id_column: str = "doc_id"):
                 keys.append(a | ids[j])
     if not keys:
         return pd.DataFrame(
-            {"pair_key": pd.Series(dtype="int64"),
+            {"pair_key": pd.Series(dtype="uint64"),
              "n": pd.Series(dtype="int64")}
         )
-    s = pd.Series(keys, dtype="int64").value_counts()
+    s = pd.Series(keys, dtype="uint64").value_counts()
     return pd.DataFrame(
-        {"pair_key": s.index.to_numpy(), "n": s.to_numpy()}
+        {"pair_key": s.index.to_numpy(), "n": s.to_numpy().astype("int64")}
     )
 
 
@@ -260,9 +249,11 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
     # per-GROUP Python overhead (~150 s for 110k pairs).  Instead shuffle
     # into a few coarse shards and merge each shard with a pandas-C groupby.
     def add_shard(batch: pa.Table) -> pa.Table:
-        k = batch.column("pair_key").to_numpy(zero_copy_only=False)
+        k = batch.column("pair_key").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
         return batch.append_column(
-            "shard", pa.array((k % 16).astype(np.int64))
+            "shard", pa.array((k % np.uint64(16)).astype(np.int64))
         )
 
     def merge_shard(df):
@@ -276,11 +267,17 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
     )
 
     def unpack(batch: pa.Table) -> pa.Table:
-        k = batch.column("pair_key").to_numpy(zero_copy_only=False)
+        k = batch.column("pair_key").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
         return pa.table(
             {
-                "id_a": pa.array(k >> 32, pa.int64()),
-                "id_b": pa.array(k & 0xFFFFFFFF, pa.int64()),
+                "id_a": pa.array(
+                    (k >> np.uint64(32)).astype(np.int64), pa.int64()
+                ),
+                "id_b": pa.array(
+                    (k & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
+                ),
                 "n_bands": batch.column("n_bands"),
             }
         )

@@ -93,13 +93,6 @@ class FastRules:
             if li.iso1 in languages
         }
 
-        # whitespace codepoints (str.isspace set; the isLogogram guard) —
-        # CJK-script chars are never whitespace, so this only needs to
-        # cover the guard semantics, but keep the real set for clarity
-        ws = list(range(0x09, 0x0E)) + list(range(0x1C, 0x20)) + [
-            0x20, 0x85, 0xA0, 0x1680, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
-        ] + list(range(0x2000, 0x200B))
-        self.ws_set = frozenset(ws)
 
     # ------------------------------------------------------------------ #
 

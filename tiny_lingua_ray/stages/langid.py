@@ -217,6 +217,16 @@ class LangIdScorer:
             [l in latin_langs for l in self.languages]
         )
         self.all_mask = np.ones(self.L, dtype=bool)
+        # filtered-set-of-one short-circuit (LanguageDetector.kt:239-241)
+        # applies on the vectorized fast path too
+        self.latin_single: str | None = (
+            self.languages[int(np.nonzero(self.latin_mask)[0][0])]
+            if self.latin_mask.sum() == 1
+            else None
+        )
+        self.all_single: str | None = (
+            self.languages[0] if self.L == 1 else None
+        )
 
         self.script_table = script_id_table()
         self.letter_table = letter_table()
@@ -311,8 +321,18 @@ class LangIdScorer:
                 # else all langs (see rule_special_table docstring).
                 a, b = raw_offs[r], raw_offs[r + 1]
                 if self._has_all_latin_word(raw, a, b, cumb, cuml):
+                    if self.latin_single is not None:
+                        pred[r] = self.latin_single
+                        path[r] = PATH_SINGLE
+                        resolved_by_rules[r] = True
+                        continue
                     cand_mask[r] = self.latin_mask
                 else:
+                    if self.all_single is not None:
+                        pred[r] = self.all_single
+                        path[r] = PATH_SINGLE
+                        resolved_by_rules[r] = True
+                        continue
                     cand_mask[r] = self.all_mask
             else:
                 a, b = raw_offs[r], raw_offs[r + 1]

@@ -48,13 +48,18 @@ class TrigramBackoffResolver:
             miss = [grams[i] for i in missing_i]
             out = np.full(len(miss), np.nan)
             penalty = 0.0
+            # chain-rule backoff keeps the SUFFIX context: P(c3|c1c2) ->
+            # P(c3|c2) -> P(c3); our tables store exactly those
+            # conditionals (count(abc)/count(ab), count(bc)/count(b),
+            # count(c)/total).  (The langid backoff truncates the suffix
+            # instead — that is a different, reference-mandated rule.)
             for level in (3, 2, 1):
                 unresolved = np.isnan(out)
                 if not unresolved.any():
                     break
                 idxs = np.nonzero(unresolved)[0]
                 hashes = np.fromiter(
-                    (fnv1a_64(miss[i][:level]) for i in idxs),
+                    (fnv1a_64(miss[i][3 - level :]) for i in idxs),
                     dtype=np.uint64,
                     count=len(idxs),
                 )

@@ -31,10 +31,13 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 # tiny illustrative toxicity lexicon (word-boundary, case-insensitive)
 TOXICITY_WORDS: tuple[str, ...] = ("idiot", "stupid", "moron", "hate you")
 
-_COMPILED_PII = [(tok, re.compile(pat)) for tok, pat in PII_PATTERNS]
+# re.ASCII: \d and \b must mean what RE2/DuckDB mean (ASCII digits/word
+# chars), or the oracle SQL in pipelines/queries.py diverges on rows with
+# non-ASCII digits
+_COMPILED_PII = [(tok, re.compile(pat, re.ASCII)) for tok, pat in PII_PATTERNS]
 _TOX_RE = re.compile(
     r"\b(?:" + "|".join(re.escape(w) for w in TOXICITY_WORDS) + r")\b",
-    re.IGNORECASE,
+    re.IGNORECASE | re.ASCII,
 )
 
 
