@@ -438,23 +438,32 @@ class LangIdScorer:
             ids[ids < 0] = new_ids
         return ids
 
-    def _values_for(self, ngrams: list[str], n: int) -> np.ndarray:
+    def _values_for(
+        self, ngrams: list[str], n: int, col_idx: np.ndarray | None = None
+    ) -> np.ndarray:
         """[V, L] backoff-resolved values for this batch's n-gram vocab.
 
         n<=3: via the (base + local) cache.  n>=4: resolved directly per
         batch — start from the cached 3-gram-prefix values (which already
         encode the 3->2->1 backoff) and override where the 5/4-gram tables
         hit; 4/5-grams are NOT cached (their vocabulary never saturates,
-        so caching them was pure overhead)."""
+        so caching them was pure overhead).  ``col_idx`` restricts the
+        expensive per-language 4/5-gram probes to the caller's candidate
+        columns (other columns are left as the prefix values — callers
+        must not read them)."""
         if n <= 3:
             return self.value_cache.gather(self._resolve_low(ngrams, n))
         prefix3 = [g[:3] for g in ngrams]
         ids3 = self._resolve_low(prefix3, 3)
         vals = self.value_cache.gather(ids3)  # gather copies -> writable
+        cols = (
+            range(self.L) if col_idx is None else [int(c) for c in col_idx]
+        )
         decided = np.zeros(vals.shape, dtype=bool)
         for level in range(n, 3, -1):
             hashes = fnv1a_64_batch([g[:level] for g in ngrams])
-            for li, pm in enumerate(self.models):
+            for li in cols:
+                pm = self.models[li]
                 got = pm.lookup(hashes, level)
                 hit = ~np.isnan(got) & ~decided[:, li]
                 vals[hit, li] = got[hit]
@@ -530,7 +539,9 @@ class LangIdScorer:
             # batch-vocab values (candidate columns only), then COLUMN-wise
             # expand+bincount: avoids materializing a [C, L] matrix (large
             # fresh allocations are pathologically slow on this host)
-            P = np.asfortranarray(self._values_for(order, n)[:, col_idx])
+            P = np.asfortranarray(
+                self._values_for(order, n, col_idx)[:, col_idx]
+            )
             S = np.empty((nkeep, ncols), dtype=np.float64)
             for ci in range(ncols):
                 S[:, ci] = np.bincount(
