@@ -386,14 +386,24 @@ def run_quality_filter(
     out = Path(out_dir)
     t0 = time.time()
 
+    # lineage identifies this run; manifests from a different input/config
+    # (written_at excluded from matching) never count as complete
+    lineage = {
+        "input": str(input_path),
+        "config": cfg.config_hash(),
+        "num_partitions": cfg.num_partitions,
+        "written_at": time.time(),
+    }
     done = (
-        completed_partitions(out, cfg.num_partitions) if resume else set()
+        completed_partitions(out, cfg.num_partitions, lineage)
+        if resume
+        else set()
     )
     if not resume:
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)
-    clear_incomplete_partition_data(out, cfg.num_partitions)
+    clear_incomplete_partition_data(out, cfg.num_partitions, lineage)
 
     ds = rd.read_parquet(str(input_path))
     result = quality_filter_dataset(
@@ -424,11 +434,7 @@ def run_quality_filter(
         )
 
     new_parts = sorted(set(range(cfg.num_partitions)) - done)
-    lineage = {
-        "input": str(input_path),
-        "config": cfg.config_hash(),
-        "written_at": time.time(),
-    }
+    lineage["written_at"] = time.time()
     summary = {"rows": 0, "kept": 0, "partitions": cfg.num_partitions}
     for k in new_parts:
         g = agg[agg["part_id"] == k]

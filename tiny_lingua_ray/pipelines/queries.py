@@ -34,6 +34,20 @@ def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
 
 
 
+def _pool(frac: float = 0.75, reserve: int = 2, floor: int = 2) -> int:
+    """Actor-pool size from cluster CPUs (never hard-code concurrency=2:
+    that starves a 32-CPU box; see pipelines/quality_filter._cap_pool)."""
+    cpus = 8
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+    except ImportError:
+        pass
+    return max(floor, min(int(cpus * frac), max(1, cpus - reserve)))
+
+
 _MODELS_READY = False
 
 
@@ -187,27 +201,44 @@ def q_distinct_users_per_event(sf_dir: str):
 
 
 def q_user_sessions(sf_dir: str):
-    """Session windows (30-min gap) per user: partition by key, sort by ts
-    inside the group, windowing in pandas — the engine's streaming-shaped
-    pattern (ordered, partitioned log; no event-time watermarks in Ray)."""
+    """Session windows (30-min gap) per user, shard-merged: shard =
+    user_id % P, then ONE pandas-C sessionization per shard.  One Ray
+    group per shard — never per user: per-group Python overhead at high
+    user cardinality is the scale killer (same pattern as exact_dedup,
+    stages/dedup.py)."""
     GAP_US = 30 * 60 * 1_000_000
+    P = 16
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        ts = g["ts"].astype("int64").to_numpy()
+    def add_shard(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array((uid % P).astype(np.int64))
+        )
+
+    def sessions_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        # normalize ts to int64 MICROseconds regardless of how pandas
+        # materialized the timestamp column (ns vs us)
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
         new_session = np.ones(len(ts), dtype=np.int64)
         if len(ts) > 1:
-            new_session[1:] = (np.diff(ts) > GAP_US).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [len(ts)],
-                "n_sessions": [int(new_session.sum())],
-            }
+            same_user = uid[1:] == uid[:-1]
+            small_gap = (ts[1:] - ts[:-1]) <= GAP_US
+            new_session[1:] = (~(same_user & small_gap)).astype(np.int64)
+        g = pd.DataFrame({"user_id": uid, "new_session": new_session})
+        return g.groupby("user_id", as_index=False).agg(
+            n_events=("new_session", "size"),
+            n_sessions=("new_session", "sum"),
         )
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(sessions_in_shard, batch_format="pandas")
+    )
 
 
 def q_events_daily(sf_dir: str):
@@ -295,7 +326,16 @@ def q_token_counts(sf_dir: str):
 
 
 def q_word_freq_top20(sf_dir: str):
-    """Corpus-wide word frequency: per-batch Counter partials -> groupby."""
+    """Corpus-wide word frequency top-20: per-batch Counter partials ->
+    shard = hash(word) % P -> pandas-C merge + per-shard top-k -> tiny
+    driver merge.  No full-cardinality Ray groupby("word") (per-group
+    Python overhead at word cardinality is the scale killer); a word's
+    global count lives entirely in one shard, so per-shard top-k with the
+    final tie order is exhaustive for the global top-k."""
+    from tiny_lingua_ray.models.train import fnv1a_64
+
+    P = 16
+    K = 20
 
     def partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -304,24 +344,33 @@ def q_word_freq_top20(sf_dir: str):
         for t in batch.column("text").to_pylist():
             c.update((t or "").lower().split(" "))
         c.pop("", None)
+        words = list(c.keys())
+        shard = np.fromiter(
+            (fnv1a_64(w) % P for w in words), dtype=np.int64, count=len(words)
+        )
         return pa.table(
             {
-                "word": pa.array(list(c.keys()), pa.string()),
+                "word": pa.array(words, pa.string()),
                 "cnt": pa.array(list(c.values()), pa.int64()),
+                "shard": pa.array(shard),
             }
         )
 
-    from ray.data.aggregate import Sum
+    def topk_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", as_index=False)["cnt"].sum()
+        return g.sort_values(
+            ["cnt", "word"], ascending=[False, True], ignore_index=True
+        ).head(K)
 
     out = (
         _read(sf_dir, "documents", columns=["text"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
+        .groupby("shard")
+        .map_groups(topk_in_shard, batch_format="pandas")
+        .to_pandas()  # <= P * K rows
     )
     out = out.sort_values(["cnt", "word"], ascending=[False, True], ignore_index=True)
-    return out.head(20)
+    return out.head(K)
 
 
 def q_exact_dedup(sf_dir: str):
@@ -380,7 +429,7 @@ def q_langid(sf_dir: str):
             LangIdScorer,
             batch_format="pyarrow",
             batch_size=1024,
-            concurrency=2,
+            concurrency=_pool(),
             num_cpus=1,
         )
         .select_columns(["doc_id", "pred_lang", "lang_path"])
@@ -404,14 +453,14 @@ def q_perplexity(sf_dir: str):
             LangIdScorer,
             batch_format="pyarrow",
             batch_size=1024,
-            concurrency=2,
+            concurrency=_pool(),
             num_cpus=1,
         )
         .map_batches(
             PerplexityScorer,
             batch_format="pyarrow",
             batch_size=1024,
-            concurrency=2,
+            concurrency=_pool(frac=0.5),
             num_cpus=0.5,  # second pool: never starve task operators
         )
         .map_batches(round_pp, batch_format="pyarrow")
@@ -589,14 +638,14 @@ def q_langid_fallback(sf_dir: str):
             LangIdScorer,
             batch_format="pyarrow",
             batch_size=1024,
-            concurrency=2,
+            concurrency=_pool(),
             num_cpus=1,
         )
         .map_batches(
             FastLangId,
             batch_format="pyarrow",
             batch_size=1024,
-            concurrency=2,
+            concurrency=_pool(frac=0.5),
             num_cpus=0.5,  # second pool: never starve task operators
         )
         .select_columns(["doc_id", "pred_lang", "lang_final"])
@@ -631,7 +680,7 @@ def q_multilang_sections(sf_dir: str):
             MultiLangSections,
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=2,
+            concurrency=_pool(),
             num_cpus=1,
         )
         .map_batches(summarize, batch_format="pyarrow")
@@ -750,18 +799,22 @@ ORACLE = {
                       THEN 1 ELSE 0 END AS new_session
           FROM events)
         SELECT user_id, COUNT(*) AS n_events,
-               SUM(new_session) AS n_sessions
+               CAST(SUM(new_session) AS BIGINT) AS n_sessions
         FROM ordered GROUP BY user_id
     """,
     "doc_stats": """
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
         FROM documents GROUP BY lang
     """,
     "clean_text": r"""
         SELECT doc_id,
                regexp_replace(
-                 regexp_replace(lower(trim(text)), '[\pN\pP]', '', 'g'),
+                 regexp_replace(
+                   lower(regexp_replace(text,
+                     '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')),
+                   '[\pN\pP]', '', 'g'),
                  '[ \t\n\x0b\f\r]+', ' ', 'g') AS clean_text
         FROM documents
     """,

@@ -111,19 +111,39 @@ def _pairs_in_partition(df, id_column: str = "doc_id"):
     group) — amortizes Ray's per-group overhead over thousands of tiny LSH
     buckets ("bucket the buckets").  Emits pre-deduped (pair_key, n)
     partials: a single packed int64 key keeps the downstream shuffle cheap
-    (Ray's multi-column groupby aggregate is far slower)."""
+    (Ray's multi-column groupby aggregate is far slower).  Hot buckets are
+    capped at MAX_BUCKET members; the dropped excess is logged (never
+    silent)."""
+    import logging
+
     import pandas as pd
 
-    # pair key packs two ids into a uint64 (requires doc ids < 2^32;
-    # beyond that, switch the key to fnv1a_64(f"{a}:{b}"))
+    # pair key packs two ids into a uint64 — enforced, not assumed
+    if len(df) and int(df[id_column].max()) >= (1 << 32):
+        raise ValueError(
+            f"{id_column} >= 2^32 cannot be packed into a 64-bit pair key; "
+            "switch pair_key to fnv1a_64(f'{a}:{b}')"
+        )
     keys: list[int] = []
+    capped_buckets = 0
+    dropped_ids = 0
     for _, g in df.groupby(["band", "bucket"], sort=False):
-        ids = sorted(set(g[id_column].tolist()))[:MAX_BUCKET]
+        all_ids = sorted(set(g[id_column].tolist()))
+        ids = all_ids[:MAX_BUCKET]
+        if len(all_ids) > MAX_BUCKET:
+            capped_buckets += 1
+            dropped_ids += len(all_ids) - MAX_BUCKET
         n = len(ids)
         for i in range(n):
             a = ids[i] << 32
             for j in range(i + 1, n):
                 keys.append(a | ids[j])
+    if capped_buckets:
+        logging.getLogger(__name__).warning(
+            "minhash-lsh: capped %d hot bucket(s) at %d members "
+            "(%d doc ids dropped from pairing in this partition)",
+            capped_buckets, MAX_BUCKET, dropped_ids,
+        )
     if not keys:
         return pd.DataFrame(
             {"pair_key": pd.Series(dtype="uint64"),

@@ -138,7 +138,13 @@ class PerplexityScorer:
         if models_ref is not None:
             import ray
 
-            packed = ray.get(models_ref)
+            payload = ray.get(models_ref)
+            # quality_filter ships {'packed': models, 'cache': ...} when
+            # ship_models='object_store' — unwrap like LangIdScorer does
+            if isinstance(payload, dict) and "packed" in payload:
+                packed = payload["packed"]
+            else:
+                packed = payload
         else:
             from pathlib import Path
 

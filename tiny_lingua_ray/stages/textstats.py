@@ -11,7 +11,9 @@ import re
 import numpy as np
 import pyarrow as pa
 
-_WS_SPLIT = re.compile(r"\s+")
+# ASCII-only \s to match the DuckDB oracle's RE2 semantics (RE2 \s is
+# ASCII-only; Unicode whitespace like NBSP must NOT split tokens)
+_WS_SPLIT = re.compile(r"\s+", re.ASCII)
 # BPE-ish subword token estimate: letter runs, digit runs, single punct
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
 
@@ -23,7 +25,9 @@ def token_count_batch(
     ws = np.zeros(len(texts), dtype=np.int64)
     bpe = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        t = (t or "").strip()
+        # strip spaces only — the oracle's trim() strips ' ' while Python
+        # .strip() would strip all Unicode whitespace
+        t = (t or "").strip(" ")
         ws[i] = len(_WS_SPLIT.split(t)) if t else 0
         bpe[i] = len(_BPE_RE.findall(t))
     return pa.table(

@@ -43,7 +43,19 @@ def manifest_path(out_dir: str | Path, part_id: int) -> Path:
     return Path(out_dir) / "manifest" / f"part-{part_id:05d}.json"
 
 
-def completed_partitions(out_dir: str | Path, num_partitions: int) -> set[int]:
+def completed_partitions(
+    out_dir: str | Path,
+    num_partitions: int,
+    lineage: dict | None = None,
+) -> set[int]:
+    """Partition ids with a valid manifest.
+
+    When ``lineage`` is given, a manifest only counts as complete if its
+    recorded lineage matches the current run on every key except
+    ``written_at`` — resuming with a changed input path, config hash or
+    partition count must NOT silently keep stale output computed under
+    the old settings.
+    """
     done: set[int] = set()
     mdir = Path(out_dir) / "manifest"
     if not mdir.is_dir():
@@ -53,10 +65,19 @@ def completed_partitions(out_dir: str | Path, num_partitions: int) -> set[int]:
         if f.exists():
             try:
                 m = json.loads(f.read_text())
-                if m.get("complete"):
-                    done.add(k)
             except (json.JSONDecodeError, OSError):
                 continue
+            if not m.get("complete"):
+                continue
+            if lineage is not None:
+                recorded = m.get("lineage", {})
+                if any(
+                    recorded.get(key) != val
+                    for key, val in lineage.items()
+                    if key != "written_at"
+                ):
+                    continue
+            done.add(k)
     return done
 
 
@@ -80,13 +101,14 @@ def write_manifest(
 
 
 def clear_incomplete_partition_data(
-    out_dir: str | Path, num_partitions: int
+    out_dir: str | Path, num_partitions: int, lineage: dict | None = None
 ) -> None:
     """Delete data dirs for partitions without a valid manifest (stale
-    output from a crashed run must not survive into the rewrite)."""
+    output from a crashed run — or from a run with different lineage —
+    must not survive into the rewrite)."""
     import shutil
 
-    done = completed_partitions(out_dir, num_partitions)
+    done = completed_partitions(out_dir, num_partitions, lineage)
     data = Path(out_dir) / "data"
     if not data.is_dir():
         return
