@@ -501,12 +501,17 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_jaccard_pairs(sf_dir: str):
-    """LSH candidates verified with exact n-gram Jaccard >= 0.8."""
+    """MinHash-LSH candidates verified with exact char-5-gram Jaccard
+    >= 0.8, DISTRIBUTED: the small pair list is broadcast via ray.put;
+    shingle sets are computed inside map_batches where the text lives and
+    shuffled ONCE by pair shard; per-shard pandas groupby joins the two
+    sides of each pair.  No driver-side text materialization (the only
+    driver-held object is the candidate pair list itself)."""
     import ray
-    import ray.data as rd
 
-    from tiny_lingua_ray.stages.dedup import jaccard, minhash_lsh_candidates
+    from tiny_lingua_ray.stages.dedup import char_shingles, minhash_lsh_candidates
 
+    P = 16
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32)
     cands = minhash_lsh_candidates(docs).to_pandas()
     if len(cands) == 0:
@@ -514,21 +519,73 @@ def q_jaccard_pairs(sf_dir: str):
             {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
              "jaccard": pd.Series(dtype="float64")}
         )
-    # broadcast the candidate texts (small: only docs appearing in pairs)
-    need = set(cands["id_a"]) | set(cands["id_b"])
+    # doc_id -> [(pair_idx, id_a, id_b)] — broadcast once, read per task
+    pair_map: dict[int, list[tuple[int, int, int]]] = {}
+    for idx, (a, b) in enumerate(zip(cands["id_a"], cands["id_b"])):
+        pair_map.setdefault(int(a), []).append((idx, int(a), int(b)))
+        pair_map.setdefault(int(b), []).append((idx, int(a), int(b)))
+    pm_ref = ray.put(pair_map)
 
-    def pick(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id").to_pylist())
-        return batch.filter(pa.array(np.isin(ids, list(need))))
+    def emit_shingles(batch: pa.Table) -> pa.Table:
+        pm = ray.get(pm_ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_idx, o_a, o_b, o_doc, o_sh = [], [], [], [], []
+        for i, t in zip(ids, texts):
+            hits = pm.get(int(i))
+            if not hits:
+                continue
+            sh = char_shingles(t or "").tolist()  # compute ONCE per doc
+            for idx, a, b in hits:
+                o_idx.append(idx)
+                o_a.append(a)
+                o_b.append(b)
+                o_doc.append(int(i))
+                o_sh.append(sh)
+        return pa.table(
+            {
+                "pair_idx": pa.array(o_idx, pa.int64()),
+                "id_a": pa.array(o_a, pa.int64()),
+                "id_b": pa.array(o_b, pa.int64()),
+                "doc_id": pa.array(o_doc, pa.int64()),
+                "shingles": pa.array(o_sh, pa.list_(pa.uint64())),
+                "shard": pa.array(
+                    [ix % P for ix in o_idx], pa.int64()
+                ),
+            }
+        )
 
-    texts = docs.map_batches(pick, batch_format="pyarrow").to_pandas()
-    tmap = dict(zip(texts["doc_id"], texts["text"]))
-    out = []
-    for a, b in zip(cands["id_a"], cands["id_b"]):
-        j = jaccard(tmap.get(a, ""), tmap.get(b, ""))
-        if j >= 0.8:
-            out.append((int(a), int(b), round(j, 6)))
-    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+    def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("pair_idx", sort=False):
+            if len(g) < 2:
+                continue  # one side empty/missing
+            sa = set(g["shingles"].iloc[0].tolist())
+            sb = set(g["shingles"].iloc[1].tolist())
+            union = len(sa | sb)
+            j = (
+                1.0
+                if not sa and not sb
+                else (len(sa & sb) / union if union else 0.0)
+            )
+            if j >= 0.8:
+                out.append(
+                    (int(g["id_a"].iloc[0]), int(g["id_b"].iloc[0]), round(j, 6))
+                )
+        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+
+    out = (
+        docs.map_batches(emit_shingles, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(verify_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
 def q_knn_cosine(sf_dir: str):
@@ -609,11 +666,16 @@ def q_audio_features(sf_dir: str):
 
 
 def q_cosine_near_dup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs via hyperplane LSH buckets."""
+    """Embedding-cosine near-duplicate pairs via MULTI-BAND hyperplane LSH
+    (24 bands x 3 planes -> per-pair miss ~(1-0.25)^24 at cosine 0.4) with
+    exact in-bucket verification; verified full-recall vs the exact
+    cross-join oracle at sf0.001/sf0.01."""
     from tiny_lingua_ray.stages.similarity import cosine_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = cosine_near_dup_pairs(ds, threshold=0.4, n_planes=4).to_pandas()
+    out = cosine_near_dup_pairs(
+        ds, threshold=0.4, n_bands=24, planes_per_band=3
+    ).to_pandas()
     if out.empty or "cosine" not in out.columns:
         return pd.DataFrame(
             {
@@ -881,4 +943,135 @@ ORACLE = {
                      / COUNT(*), 4) AS avg_norm
         FROM embeddings GROUP BY label
     """,
+    "cosine_near_dup": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        sims AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_cosine_similarity(a.v, b.v) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, ROUND(cos, 4) AS cosine
+        FROM sims WHERE cos >= 0.4
+    """,
+    "fingerprint": """
+        WITH d AS (SELECT doc_id, lower(COALESCE(text, '')) AS lt
+                   FROM documents),
+        wins AS (
+          SELECT doc_id, MIN(md5(substring(lt, CAST(i AS BIGINT), 8))) AS fp
+          FROM (SELECT doc_id, lt,
+                       unnest(range(1, CAST(len(lt) AS BIGINT) - 6)) AS i
+                FROM d)
+          GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(w.fp, md5(d.lt)) AS fingerprint
+        FROM d LEFT JOIN wins w ON d.doc_id = w.doc_id
+    """,
+    "jaccard_pairs": """
+        WITH d AS (SELECT doc_id, lower(COALESCE(text, '')) AS lt
+                   FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   substring(lt,
+                     CAST(unnest(range(1, CAST(len(lt) AS BIGINT) - 3)) AS BIGINT),
+                     5) AS s
+            FROM d WHERE len(lt) >= 5
+            UNION ALL
+            SELECT doc_id, lt AS s FROM d
+            WHERE len(lt) > 0 AND len(lt) < 5)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = id_a
+        JOIN cnt cb ON cb.doc_id = id_b
+        WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+    """,
 }
+
+
+def _quality_flags_oracle() -> str:
+    """Gopher/C4 rule bits expressed in SQL (mirrors stages/quality.py
+    bit for bit; the stopword list is taken from the Python source of
+    truth so the two can never drift)."""
+    from tiny_lingua_ray.stages.quality import (
+        MAX_MWL,
+        MAX_SYMBOL_RATIO,
+        MAX_WORD_DOMINANCE,
+        MAX_WORDS,
+        MIN_ALPHA_RATIO,
+        MIN_MWL,
+        MIN_STOPWORD_HITS,
+        MIN_WORDS,
+        STOPWORDS,
+    )
+
+    sw = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, COALESCE(text, '') AS t,
+                 lower(COALESCE(text, '')) AS tl
+          FROM documents),
+        w AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(tl, '[ \t\n\x0b\f\r]+'),
+                   x -> x <> '') AS ws
+          FROM d),
+        ws AS (
+          SELECT doc_id, len(ws) AS n_words,
+                 CASE WHEN len(ws) = 0 THEN 0.0
+                      ELSE list_sum(list_transform(ws, x -> len(x))) * 1.0
+                           / len(ws) END AS mwl,
+                 len(list_filter(ws, x -> list_contains([{sw}], x)))
+                   AS stop_hits
+          FROM w),
+        dom AS (
+          SELECT doc_id, MAX(c) AS max_cnt FROM (
+            SELECT doc_id, wrd, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS wrd FROM w)
+            GROUP BY doc_id, wrd)
+          GROUP BY doc_id),
+        c AS (
+          SELECT doc_id, len(t) AS n_chars,
+                 len(regexp_replace(t, '[^#$%&*+<=>@^|~!]', '', 'g'))
+                   AS n_sym,
+                 len(regexp_replace(t, '[^\pL]', '', 'g')) AS n_alpha,
+                 CASE WHEN contains(t, '{{') OR contains(t, '}}')
+                      THEN 32 ELSE 0 END
+                 + CASE WHEN contains(tl, 'lorem ipsum') THEN 64 ELSE 0 END
+                 + CASE WHEN contains(tl, 'javascript') THEN 128 ELSE 0 END
+                   AS cflags
+          FROM d)
+        SELECT ws.doc_id,
+          CASE WHEN ws.n_words < {MIN_WORDS} THEN 1 ELSE 0 END
+          + CASE WHEN ws.n_words > {MAX_WORDS} THEN 2 ELSE 0 END
+          + CASE WHEN ws.n_words > 0
+                   AND NOT (ws.mwl >= {MIN_MWL} AND ws.mwl <= {MAX_MWL})
+                 THEN 4 ELSE 0 END
+          + CASE WHEN c.n_chars > 0
+                   AND c.n_sym * 1.0 / c.n_chars > {MAX_SYMBOL_RATIO}
+                 THEN 8 ELSE 0 END
+          + CASE WHEN ws.n_words > 0 AND ws.stop_hits < {MIN_STOPWORD_HITS}
+                   AND c.n_alpha * 1.0 / c.n_chars > 0.5
+                 THEN 16 ELSE 0 END
+          + c.cflags
+          + CASE WHEN ws.n_words >= 10
+                   AND COALESCE(dom.max_cnt, 0) * 1.0 / ws.n_words
+                       > {MAX_WORD_DOMINANCE}
+                 THEN 256 ELSE 0 END
+          + CASE WHEN c.n_chars > 0
+                   AND c.n_alpha * 1.0 / c.n_chars < {MIN_ALPHA_RATIO}
+                 THEN 512 ELSE 0 END
+          AS quality_flags,
+          ws.stop_hits AS stopword_hits
+        FROM ws
+        JOIN c ON ws.doc_id = c.doc_id
+        LEFT JOIN dom ON ws.doc_id = dom.doc_id
+    """
+
+
+ORACLE["quality_flags"] = _quality_flags_oracle()

@@ -46,7 +46,9 @@ STOPWORDS = frozenset(
 )
 
 _SYMBOLS = frozenset("#$%&*+<=>@^|~!")
-_WORD_RE = re.compile(r"\S+")
+# ASCII \S+ (splits at ASCII whitespace only) — matches the RE2 semantics
+# of the DuckDB oracle; Unicode whitespace does not split words
+_WORD_RE = re.compile(r"\S+", re.ASCII)
 
 FLAG_NAMES = (
     "too_few_words",

@@ -44,31 +44,62 @@ def fingerprint_batch(
     text_column: str = "text",
     id_column: str = "doc_id",
     window: int = 8,
+    scheme: str = "md5",
 ) -> pa.Table:
-    """Winnowing-style fingerprint: min rolling-hash over char windows.
+    """Winnowing-style fingerprint: min hash over sliding char windows of
+    the lowercased text (public winnowing / Rabin-Karp scheme) — a
+    deterministic document fingerprint robust to local edits.
 
-    A deterministic 64-bit document fingerprint robust to local edits
-    (public winnowing / Rabin-Karp scheme).
+    ``scheme="md5"`` (default) emits the lexicographic min of the hex md5
+    of each window — oracle-verifiable in DuckDB (min(md5(substring)));
+    ``scheme="fnv"`` emits the numeric min of 64-bit FNV-1a hashes — the
+    cheaper scale path (~6x faster per window, 8-byte outputs).
     """
+    import hashlib
+
     from tiny_lingua_ray.models.train import fnv1a_64
 
     texts = batch.column(text_column).to_pylist()
-    fps = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        t = (t or "").lower()
-        if len(t) < window:
-            fps[i] = np.uint64(fnv1a_64(t))
-            continue
-        best = None
-        for j in range(len(t) - window + 1):
-            h = fnv1a_64(t[j : j + window])
-            if best is None or h < best:
-                best = h
-        fps[i] = np.uint64(best)
+    if scheme == "fnv":
+        fps_u = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            t = (t or "").lower()
+            if len(t) < window:
+                fps_u[i] = np.uint64(fnv1a_64(t))
+                continue
+            best = min(
+                fnv1a_64(t[j : j + window])
+                for j in range(len(t) - window + 1)
+            )
+            fps_u[i] = np.uint64(best)
+        fp_arr = pa.array(fps_u)
+    else:
+        fps: list[str] = []
+        for t in texts:
+            t = (t or "").lower()
+            enc = t.encode("utf-8")
+            if len(t) < window:
+                fps.append(hashlib.md5(enc).hexdigest())
+                continue
+            if enc.isascii():  # byte windows == char windows
+                fps.append(
+                    min(
+                        hashlib.md5(enc[j : j + window]).hexdigest()
+                        for j in range(len(enc) - window + 1)
+                    )
+                )
+            else:
+                fps.append(
+                    min(
+                        hashlib.md5(t[j : j + window].encode("utf-8")).hexdigest()
+                        for j in range(len(t) - window + 1)
+                    )
+                )
+        fp_arr = pa.array(fps, pa.string())
     return pa.table(
         {
             id_column: batch.column(id_column),
-            "fingerprint": pa.array(fps),
+            "fingerprint": fp_arr,
         }
     )
 
