@@ -478,17 +478,22 @@ def q_quality_flags(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH candidate pairs with md5-derived shingle hashes
+    (bit-identical to DuckDB md5_number_lower) so the full sketch —
+    shingle -> 64 universal-hash minima -> 16-band buckets -> pairs —
+    is verified by the SQL oracle."""
     from tiny_lingua_ray.stages.dedup import minhash_lsh_candidates
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32)
-    return minhash_lsh_candidates(ds)
+    return minhash_lsh_candidates(ds, scheme="md5")
 
 
 def q_simhash(sf_dir: str):
+    """64-bit SimHash per doc, md5-hash scheme (oracle-verified)."""
     from tiny_lingua_ray.stages.dedup import simhash_batch
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32).map_batches(
-        simhash_batch, batch_format="pyarrow"
+        simhash_batch, fn_kwargs={"scheme": "md5"}, batch_format="pyarrow"
     )
 
 
@@ -1075,3 +1080,80 @@ def _quality_flags_oracle() -> str:
 
 
 ORACLE["quality_flags"] = _quality_flags_oracle()
+
+
+# shared shingle CTE (distinct lowercased char-5-grams; whole text when
+# shorter than 5 chars) — identical to stages/dedup.char_shingles
+_SHINGLES_CTE = r"""
+        d AS (SELECT doc_id, lower(COALESCE(text, '')) AS lt
+              FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   substring(lt,
+                     CAST(unnest(range(1, CAST(len(lt) AS BIGINT) - 3)) AS BIGINT),
+                     5) AS s
+            FROM d WHERE len(lt) >= 5
+            UNION ALL
+            SELECT doc_id, lt AS s FROM d
+            WHERE len(lt) > 0 AND len(lt) < 5)),
+        hs AS (SELECT doc_id, md5_number_lower(s) AS h FROM sh)
+"""
+
+
+def _simhash_oracle() -> str:
+    """SimHash in SQL: md5_number_lower shingle hashes (bit-identical to
+    the engine's md5 scheme), per-bit majority vote, bit reconstruction."""
+    return f"""
+        WITH {_SHINGLES_CTE},
+        bits AS (
+          SELECT doc_id, j,
+                 SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM (SELECT doc_id, h, unnest(range(0, 64)) AS j FROM hs)
+          GROUP BY doc_id, j),
+        sim AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN vote > 0
+                          THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT)
+                          ELSE 0 END) AS UBIGINT) AS simhash
+          FROM bits GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(sim.simhash, 0) AS simhash
+        FROM d LEFT JOIN sim ON d.doc_id = sim.doc_id
+    """
+
+
+def _minhash_oracle() -> str:
+    """The full MinHash-LSH sketch in SQL: 64 universal-hash minima per
+    doc over md5 shingle hashes (numpy uint64 wraparound replicated via
+    UHUGEINT mod 2^64), 16 bands of 4, candidate = equal band slice.
+    The a/b permutation constants come from the engine's own arrays so
+    the two sides cannot drift."""
+    from tiny_lingua_ray.stages.dedup import _A, _B, _MERSENNE
+
+    a_sql = ", ".join(str(int(x)) for x in _A)
+    b_sql = ", ".join(str(int(x)) for x in _B)
+    return f"""
+        WITH {_SHINGLES_CTE},
+        vals AS (
+          SELECT doc_id, i,
+            CAST(((CAST(([{a_sql}])[i + 1] AS UHUGEINT) * CAST(h AS UHUGEINT)
+                 + CAST(([{b_sql}])[i + 1] AS UHUGEINT))
+                % CAST(18446744073709551616 AS UHUGEINT))
+                % CAST({_MERSENNE} AS UHUGEINT) AS UBIGINT) AS v
+          FROM (SELECT doc_id, h, unnest(range(0, 64)) AS i FROM hs)),
+        sigs AS (SELECT doc_id, i, MIN(v) AS mv FROM vals GROUP BY doc_id, i),
+        bands AS (
+          SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                 list(mv ORDER BY i) AS sig
+          FROM sigs GROUP BY doc_id, CAST(i // 4 AS INT)),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                      AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, COUNT(*) AS n_bands FROM pairs GROUP BY 1, 2
+    """
+
+
+ORACLE["simhash"] = _simhash_oracle()
+ORACLE["minhash_dedup"] = _minhash_oracle()

@@ -37,18 +37,36 @@ _A = _rng.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
 _B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
 
 
-def char_shingles(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """Hashes of the k-char shingles of the lowercased text (unique)."""
+def _md5_lower64(s: str) -> int:
+    """Little-endian uint64 of md5-digest bytes 8..16 — bit-identical to
+    DuckDB's ``md5_number_lower`` (verified), which makes every sketch
+    built on these hashes oracle-verifiable in SQL."""
+    import hashlib
+    import struct
+
+    return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[8:])[0]
+
+
+def char_shingles(
+    text: str, k: int = SHINGLE_K, scheme: str = "fnv"
+) -> np.ndarray:
+    """Hashes of the k-char shingles of the lowercased text (unique).
+
+    ``scheme="fnv"`` (default) is the cheap scale path;  ``scheme="md5"``
+    matches DuckDB md5_number_lower so MinHash/SimHash sketches can be
+    verified against a SQL oracle.
+    """
+    hasher = _md5_lower64 if scheme == "md5" else fnv1a_64
     t = (text or "").lower()
     if len(t) < k:
         return (
-            np.array([fnv1a_64(t)], dtype=np.uint64)
+            np.array([hasher(t)], dtype=np.uint64)
             if t
             else np.empty(0, dtype=np.uint64)
         )
     seen = {t[i : i + k] for i in range(len(t) - k + 1)}
     return np.fromiter(
-        (fnv1a_64(s) for s in seen), dtype=np.uint64, count=len(seen)
+        (hasher(s) for s in seen), dtype=np.uint64, count=len(seen)
     )
 
 
@@ -63,10 +81,11 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
 
 
 def minhash_batch(
-    batch: pa.Table, text_column: str = "text", id_column: str = "doc_id"
+    batch: pa.Table, text_column: str = "text", id_column: str = "doc_id",
+    scheme: str = "fnv",
 ) -> pa.Table:
     texts = batch.column(text_column).to_pylist()
-    sigs = [minhash_signature(char_shingles(t)) for t in texts]
+    sigs = [minhash_signature(char_shingles(t, scheme=scheme)) for t in texts]
     return pa.table(
         {
             id_column: batch.column(id_column),
@@ -165,9 +184,9 @@ def jaccard(text_a: str, text_b: str, k: int = SHINGLE_K) -> float:
     return inter / union if union else 0.0
 
 
-def simhash64(text: str, k: int = SHINGLE_K) -> int:
+def simhash64(text: str, k: int = SHINGLE_K, scheme: str = "fnv") -> int:
     """64-bit SimHash over char-k-shingle hashes (unweighted)."""
-    sh = char_shingles(text, k)
+    sh = char_shingles(text, k, scheme=scheme)
     if len(sh) == 0:
         return 0
     bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
@@ -182,14 +201,15 @@ def simhash64(text: str, k: int = SHINGLE_K) -> int:
 
 
 def simhash_batch(
-    batch: pa.Table, text_column: str = "text", id_column: str = "doc_id"
+    batch: pa.Table, text_column: str = "text", id_column: str = "doc_id",
+    scheme: str = "fnv",
 ) -> pa.Table:
     texts = batch.column(text_column).to_pylist()
     return pa.table(
         {
             id_column: batch.column(id_column),
             "simhash": pa.array(
-                [simhash64(t) for t in texts], pa.uint64()
+                [simhash64(t, scheme=scheme) for t in texts], pa.uint64()
             ),
         }
     )
@@ -236,11 +256,16 @@ def exact_dedup(ds, text_column: str = "text", id_column: str = "doc_id"):
     )
 
 
-def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_id"):
-    """Candidate near-duplicate pairs via MinHash-LSH; (id_a, id_b) Dataset."""
+def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_id",
+                           scheme: str = "fnv"):
+    """Candidate near-duplicate pairs via MinHash-LSH; (id_a, id_b) Dataset.
+
+    ``scheme="md5"`` makes the whole sketch SQL-oracle-verifiable (see
+    char_shingles); "fnv" is the cheaper scale default."""
     sig = ds.map_batches(
         minhash_batch,
-        fn_kwargs={"text_column": text_column, "id_column": id_column},
+        fn_kwargs={"text_column": text_column, "id_column": id_column,
+                   "scheme": scheme},
         batch_format="pyarrow",
     )
     def add_group_key(batch: pa.Table) -> pa.Table:
