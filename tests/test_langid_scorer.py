@@ -131,3 +131,72 @@ def test_single_latin_language_fast_path(models_dir):
     out = scorer(pa.table({"text": ["qq qq qq"]}))
     assert out.column("pred_lang").to_pylist() == ["tn"]
     assert out.column("lang_path").to_pylist() == [PATH_SINGLE]
+
+
+def test_emit_confidences_matches_pure_detector(small_models_dir):
+    """Opt-in full confidence map (LanguageDetector.kt:191-215 /
+    EnumDoubleMap.kt:91-121): same language ORDER as the pure detector,
+    values equal to float tolerance (summation order differs between the
+    vectorized bincount path and the pure loop)."""
+    import numpy as np
+
+    langs = ("en", "de", "es", "fr", "zh")
+    det = LinguaDetector(load_dict_models(small_models_dir, langs))
+    scorer = LangIdScorer(
+        models_dir=str(small_models_dir),
+        languages=langs,
+        build_if_missing=False,
+        emit_confidences=True,
+    )
+    texts = _corpus_sample(20) + ADVERSARIAL
+    out = scorer(pa.table({"text": texts}))
+    conf_col = out.column("confidence_values").to_pylist()
+    for t, got in zip(texts, conf_col):
+        want = det.confidence_values(t)
+        assert [e["lang"] for e in got] == [l for l, _ in want], (
+            f"order mismatch for {t!r}: {got} vs {want}"
+        )
+        np.testing.assert_allclose(
+            [e["conf"] for e in got],
+            [v for _, v in want],
+            rtol=1e-9,
+            err_msg=f"conf mismatch for {t!r}",
+        )
+        if got:
+            assert got[0]["conf"] == 1.0  # best is always exactly 1.0
+
+
+def test_emit_iso3_column(small_models_dir):
+    scorer = LangIdScorer(
+        models_dir=str(small_models_dir),
+        languages=("en", "de", "es", "fr", "zh"),
+        build_if_missing=False,
+        emit_iso3=True,
+    )
+    out = scorer(
+        pa.table({"text": ["the quick brown fox jumps", "", "你好世界欢迎光临"]})
+    )
+    iso3 = out.column("pred_lang_iso3").to_pylist()
+    pred = out.column("pred_lang").to_pylist()
+    from tiny_lingua_ray.languages import ISO3_BY_ISO1
+
+    assert iso3 == [ISO3_BY_ISO1[p] for p in pred]
+    assert "eng" in iso3 and "none" in iso3
+
+
+def test_iso3_codes_match_reference_enum():
+    """All 75 ISO-639-3 codes match api/IsoCode639_3.kt (one enum constant
+    per language + NONE)."""
+    from tiny_lingua_ray.languages import BY_ISO3, ISO3_BY_ISO1, LANGUAGES
+
+    ref = set(
+        "afr ara aze bel ben bos bul cat ces cym dan deu ell eng epo est "
+        "eus fas fin fra gle guj heb hin hrv hun hye ind isl ita jpn kat "
+        "kaz kor lat lav lit lug mar mkd mon mri msa nld nno nob pan pol "
+        "por ron rus slk slv sna som sot spa sqi srp swa swe tam tel tgl "
+        "tha tsn tso tur ukr urd vie xho yor zho zul".split()
+    )
+    assert {li.iso3 for li in LANGUAGES} == ref
+    assert len(BY_ISO3) == 75
+    assert ISO3_BY_ISO1["unknown"] == "none"
+    assert ISO3_BY_ISO1["de"] == "deu" and ISO3_BY_ISO1["zh"] == "zho"

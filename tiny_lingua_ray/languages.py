@@ -120,6 +120,12 @@ BY_ISO1: dict[str, LanguageInfo] = {li.iso1: li for li in LANGUAGES}
 BY_NAME: dict[str, LanguageInfo] = {li.name: li for li in LANGUAGES}
 ISO1_BY_NAME: dict[str, str] = {li.name: li.iso1 for li in LANGUAGES}
 
+# ISO-639-3 code system (api/IsoCode639_3.kt; Language.kt:178-273 carries
+# both code enums per language).  "unknown" maps to NONE's lowercase form.
+ISO3_BY_ISO1: dict[str, str] = {li.iso1: li.iso3 for li in LANGUAGES}
+ISO3_BY_ISO1[UNKNOWN] = "none"
+BY_ISO3: dict[str, LanguageInfo] = {li.iso3: li for li in LANGUAGES}
+
 # All scripts used by any language (Language.kt:288-293).
 ALL_SCRIPTS: tuple[str, ...] = tuple(
     sorted({s for li in LANGUAGES for s in li.scripts})

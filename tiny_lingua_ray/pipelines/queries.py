@@ -719,6 +719,33 @@ def q_langid_fallback(sf_dir: str):
     )
 
 
+def q_langid_confidences(sf_dir: str):
+    _ensure_models_once()
+    """Full sorted confidence map per doc (list<struct<lang,conf>>) +
+    ISO-639-3 code — the reference's flagship computeLanguageConfidenceValues
+    return shape (LanguageDetector.kt:191-215); rows-only check
+    (model-based values)."""
+    from tiny_lingua_ray.stages.langid import LangIdScorer
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            LangIdScorer,
+            fn_constructor_kwargs={
+                "emit_confidences": True,
+                "emit_iso3": True,
+            },
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=_pool(),
+            num_cpus=1,
+        )
+        .select_columns(
+            ["doc_id", "pred_lang", "pred_lang_iso3", "confidence_values"]
+        )
+    )
+
+
 def q_multilang_sections(sf_dir: str):
     _ensure_models_once()
     """M9 multi-language sectioning over documents (rows-only)."""
@@ -820,6 +847,7 @@ QUERIES = {
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "langid_fallback": q_langid_fallback,
+    "langid_confidences": q_langid_confidences,
     "multilang_sections": q_multilang_sections,
     "quality_filter_flagship": q_quality_filter_flagship,
 }

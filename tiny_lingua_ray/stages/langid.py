@@ -169,7 +169,16 @@ class LangIdScorer:
         text_column: str = "text",
         build_if_missing: bool = True,
         compute_perplexity: bool = False,
+        emit_confidences: bool = False,
+        emit_iso3: bool = False,
     ):
+        # emit_confidences: opt-in full sorted confidence map per row
+        # (list<struct<lang,conf>>), matching the reference's flagship
+        # SortedMap<Language, Double> return (LanguageDetector.kt:191-215,
+        # EnumDoubleMap.kt:91-121); off by default to keep the hot path lean.
+        # emit_iso3: append pred_lang_iso3 (ISO-639-3, api/IsoCode639_3.kt).
+        self.emit_confidences = emit_confidences
+        self.emit_iso3 = emit_iso3
         self.languages = tuple(languages)
         self.lang_set = frozenset(languages)
         self.lang_idx = {l: i for i, l in enumerate(self.languages)}
@@ -369,15 +378,48 @@ class LangIdScorer:
             path[drop] = PATH_NOHIT
             todo &= ~short_bad
 
+        conf_rows: list | None = (
+            [[] for _ in range(R)] if self.emit_confidences else None
+        )
         idx_todo = np.nonzero(todo)[0]
         if len(idx_todo):
-            self._score_rows(idx_todo, cleaned_list, cand_mask, pred, margin, path)
+            self._score_rows(
+                idx_todo, cleaned_list, cand_mask, pred, margin, path,
+                conf_rows,
+            )
 
         out = (
             batch.append_column("pred_lang", pa.array(pred.tolist(), pa.string()))
             .append_column("lang_margin", pa.array(margin))
             .append_column("lang_path", pa.array(path, pa.uint8()))
         )
+        if conf_rows is not None:
+            # rule-resolved rows return the single language at 1.0
+            # (LanguageDetector.kt:231-242 short-circuits)
+            for r in range(R):
+                if path[r] in (PATH_RULE, PATH_SINGLE):
+                    conf_rows[r] = [{"lang": pred[r], "conf": 1.0}]
+            out = out.append_column(
+                "confidence_values",
+                pa.array(
+                    conf_rows,
+                    pa.list_(
+                        pa.struct(
+                            [("lang", pa.string()), ("conf", pa.float64())]
+                        )
+                    ),
+                ),
+            )
+        if self.emit_iso3:
+            from tiny_lingua_ray.languages import ISO3_BY_ISO1
+
+            out = out.append_column(
+                "pred_lang_iso3",
+                pa.array(
+                    [ISO3_BY_ISO1.get(l, "none") for l in pred.tolist()],
+                    pa.string(),
+                ),
+            )
         if self.compute_perplexity:
             # fused perplexity pass reusing the cleaned texts (one actor
             # pool holds both roles -> one model copy, one batch pass)
@@ -568,7 +610,10 @@ class LangIdScorer:
                 uni_counts[np.ix_(krows, col_idx)] = C
                 s1_nonzero[np.ix_(krows, col_idx)] = neg
 
-    def _score_rows(self, idx_todo, cleaned_list, cand_mask, pred, margin, path):
+    def _score_rows(
+        self, idx_todo, cleaned_list, cand_mask, pred, margin, path,
+        conf_rows=None,
+    ):
         R = len(idx_todo)
         totals = np.zeros((R, self.L), dtype=np.float64)
         uni_counts = np.zeros((R, self.L), dtype=np.int64)
@@ -621,6 +666,14 @@ class LangIdScorer:
                 continue
             row_conf = conf[k]
             cand = np.nonzero(nonzero[k])[0]
+            if conf_rows is not None:
+                # full sorted map (desc, declaration-rank tie-break) —
+                # EnumDoubleMap.kt:91-121
+                order = cand[np.lexsort((self.rank[cand], -row_conf[cand]))]
+                conf_rows[r] = [
+                    {"lang": self.languages[int(c)], "conf": float(row_conf[c])}
+                    for c in order
+                ]
             if len(cand) == 1:
                 pred[r] = self.languages[cand[0]]
                 path[r] = PATH_MODEL
