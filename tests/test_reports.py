@@ -41,7 +41,9 @@ def test_multilang_sections(models_dir):
     secs = detect_multi_language(det, text)
     assert [s["lang"] for s in secs] == ["en", "ru"]
     assert secs[0]["start"] == 0
-    assert secs[-1]["end"] == len(text)
+    # section end = last LETTER (exclusive) — trailing '.' excluded
+    # (PotentialSection end semantics, MultiLanguageDetection.kt:92-93)
+    assert secs[-1]["end"] == len(text) - 1
 
     assert detect_multi_language(det, "") == []
     assert detect_multi_language(det, "12345 !!!") == []

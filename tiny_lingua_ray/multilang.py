@@ -1,166 +1,342 @@
 """Multi-language sectioning (M9 — experimental in the reference too).
 
-Reference: ``detectMultiLanguageOf`` —
-internal/MultiLanguageDetection.kt:169-225 (split), :254-299 /
-:363-415 (merge), :417-444 (entry); surfaced at
-api/LanguageDetector.kt:185-189 with an explicit "experimental, may be
-slow" warning.
+Faithful reimplementation of ``detectMultiLanguageOf``:
 
-Simplified faithful shape (documented divergence: the reference's
-confidence-overlap merge heuristics at MultiLanguageDetection.kt:446-539
-are approximated by same-language merging + short-section absorption):
+1. split the text into potential sections at script changes and boundary
+   characters (internal/MultiLanguageDetection.kt:169-225; boundary chars
+   :40-87), reproducing the reference state machine exactly — including
+   its quirks (section ``end`` only advances on the non-split letter
+   branch; a script-split seeds the new section's letter count at 1
+   before the shared increment, so those sections count one extra — the
+   reference's own golden fixtures pin this arithmetic, e.g. the
+   "Error Code" section reporting 30 letters for 29);
+2. per section: rule-based language detection / filtering, merging
+   runs whose single rule language repeats (:254-299);
+3. short sections (< 15 reliable letters) merge into the following
+   section when the rule-language sets overlap, with a confidence
+   cross-check against the previous/next sections (:446-494);
+4. final pass merges adjacent sections whose confident languages
+   overlap (:499-539), recomputing confidence values over merged text
+   (:311-326).
 
-1. split the text into candidate sections at hard boundaries (newlines,
-   quotes, colons — :40-87) and at script changes between words;
-2. detect each section with the full single-language decision function;
-3. merge adjacent sections that detected the same language; absorb
-   letter-poor sections (< MIN_SECTION_LETTERS) into their neighbor.
+Known divergences (documented): Kotlin indexes UTF-16 units, we index
+codepoints (differs only for non-BMP text); letters whose script is
+outside the 18 scripts used by the 75 languages map to a common None
+script (no split between two such scripts).
 
-Returns ``[{start, end, letters, lang}]`` over codepoint offsets.
+Returns ``[{start, end, letters, lang, confidences}]`` where
+``confidences`` is the per-section sorted confidence list — the
+reference's ``LanguageSection`` shape (api/LanguageDetector.kt:147-170).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import unicodedata
 
-from tiny_lingua_ray.detector import LinguaDetector
+from tiny_lingua_ray.detector import (
+    LinguaDetector,
+    detect_language_with_rules,
+    filter_languages_by_rules,
+    split_words,
+)
 from tiny_lingua_ray.languages import UNKNOWN
-from tiny_lingua_ray.unicode_tables import is_letter, script_of
+from tiny_lingua_ray.unicode_tables import is_letter, is_logogram, script_of
 
-HARD_BOUNDARY = set('\n\r"“”«»:')
-MIN_SECTION_LETTERS = 5
+_MIN_SECTION_LENGTH = 3        # MultiLanguageDetection.kt:171
+_MIN_RELIABLE_LETTERS = 15     # :453
+_JAPANESE_SCRIPTS = frozenset({"HIRAGANA", "KATAKANA", "HAN"})
 
-
-@dataclass
-class Section:
-    start: int
-    end: int
-    letters: int
-    lang: str
-
-
-def _dominant_script(word: str) -> str | None:
-    for ch in word:
-        s = script_of(ord(ch))
-        if s is not None:
-            return s
-    return None
+# explicit boundary characters (MultiLanguageDetection.kt:40-66); the
+# supplementary quote marks U+1F676..78 are excluded — the reference's
+# Char-based check cannot see them either (:65)
+_BOUNDARY_CHARS = frozenset(
+    ":\n\r\x0b\x0c\x85\""
+    "«»‘‛“”„‟‹›⹂"
+    "⌜⌝❛❜❝❞「」『』"
+    "〝〞〟﹁﹂﹃﹄＂＇｢｣"
+)
+_BOUNDARY_CATEGORIES = frozenset({"Pi", "Pf", "Zl", "Zp"})
 
 
-def split_sections(text: str) -> list[tuple[int, int]]:
-    """(start, end) candidate sections split at hard boundaries and script
-    changes between consecutive words."""
-    bounds: list[int] = [0]
-    prev_script: str | None = None
-    word_start: int | None = None
-    for i, ch in enumerate(text):
-        if ch in HARD_BOUNDARY:
-            bounds.append(i + 1)
-            prev_script = None
-            word_start = None
-            continue
-        if ch == " ":
-            word_start = None
-            continue
-        if word_start is None:
-            word_start = i
-            s = script_of(ord(ch))
-            if s is not None:
-                if prev_script is not None and s != prev_script:
-                    bounds.append(word_start)
-                prev_script = s
-        else:
-            s = script_of(ord(ch))
-            if s is not None:
-                if prev_script is not None and s != prev_script:
-                    bounds.append(i)
-                prev_script = s
-    bounds.append(len(text))
-    bounds = sorted(set(bounds))
-    return [
-        (a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a
-    ]
+def is_potential_language_boundary(ch: str, prev: str, nxt: str) -> bool:
+    """MultiLanguageDetection.kt:40-87."""
+    if ch in _BOUNDARY_CHARS:
+        return True
+    if ch == "'" or ch == "’":
+        # apostrophe between two letters is not a boundary (:68-73)
+        return not (is_letter(prev) and is_letter(nxt))
+    return unicodedata.category(ch) in _BOUNDARY_CATEGORIES
 
 
-MERGE_CONFIDENCE = 0.85
-# only short sections (the reference flags < ~25 letters as unreliable —
-# api/LanguageDetector.kt:141-146) may be absorbed by confidence overlap
-SHORT_SECTION_LETTERS = 25
+def _same_language_script(a: str | None, b: str | None) -> bool:
+    """UnicodeScript.belongsToSameLanguageAs (:165-167)."""
+    return a == b or (a in _JAPANESE_SCRIPTS and b in _JAPANESE_SCRIPTS)
 
 
-def detect_multi_language(
+class _Section:
+    """PotentialSection with rule languages + cached confidence values
+    (MultiLanguageDetection.kt:89-163, :227-252, :301-361)."""
+
+    __slots__ = ("start", "end", "letters", "full_text", "rule_langs", "_conf")
+
+    def __init__(self, start: int, end: int, letters: int, full_text: str):
+        self.start = start
+        self.end = end
+        self.letters = letters
+        self.full_text = full_text
+        self.rule_langs: set[str] = set()
+        self._conf: list[tuple[str, float]] | None = None
+
+    def text(self) -> str:
+        return self.full_text[self.start : self.end]
+
+    def contains_non_letter(self) -> bool:
+        return self.letters != self.end - self.start
+
+    def min_confidence(self) -> float:
+        """:126-133 — 0.6..0.98 ramp over the first 40 letters."""
+        return 0.6 + min(1.0, self.letters / 40.0) * 0.38
+
+    def merge_with(self, other: "_Section") -> None:
+        """:114-124 — extend end, add letters, drop cached confidences
+        (merged text must be re-scored: section lengths differ and longer
+        sections score more reliably, :317-326)."""
+        self.end = other.end
+        self.letters += other.letters
+        self.rule_langs |= other.rule_langs
+        self._conf = None
+
+    def set_conf(self, conf: list[tuple[str, float]]) -> None:
+        self._conf = conf
+
+    def conf_list(self, detector: LinguaDetector) -> list[tuple[str, float]]:
+        if self._conf is None:
+            self._conf = detector.confidence_values(self.text())
+        return self._conf
+
+    def relevant_langs(self, detector: LinguaDetector) -> set[str]:
+        """Languages with confidence >= min_confidence (:328-341; the
+        sorted map makes this a prefix scan)."""
+        mc = self.min_confidence()
+        out: set[str] = set()
+        for lang, conf in self.conf_list(detector):
+            if conf >= mc:
+                out.add(lang)
+            else:
+                break
+        return out
+
+
+def split_potential_sections(text: str) -> list[_Section]:
+    """The reference split state machine, quirk-for-quirk (:169-225)."""
+    sections: list[_Section] = []
+    start = -1
+    end = -1
+    last_script: str | None = None
+    letters = 0
+    has_logograms = False
+
+    for index, ch in enumerate(text):
+        if is_letter(ch):
+            script = script_of(ord(ch))
+            if (
+                start != -1
+                and (has_logograms or letters >= _MIN_SECTION_LENGTH)
+                and last_script is not None
+                and not _same_language_script(last_script, script)
+            ):
+                sections.append(_Section(start, index, letters, text))
+                # current letter starts the new section (letters seeded at
+                # 1 then incremented below — the reference's arithmetic)
+                start = index
+                letters = 1
+                has_logograms = False
+            else:
+                if start == -1:
+                    start = index
+                end = index + 1
+            last_script = script
+            letters += 1
+            has_logograms = has_logograms or is_logogram(ch)
+        elif (
+            letters >= _MIN_SECTION_LENGTH
+            and start != -1
+            and is_potential_language_boundary(
+                ch,
+                text[index - 1] if index > 0 else "\x00",
+                text[index + 1] if index + 1 < len(text) else "\x00",
+            )
+        ):
+            sections.append(_Section(start, end, letters, text))
+            start = -1
+            letters = 0
+            has_logograms = False
+
+    if start != -1:
+        sections.append(_Section(start, end, letters, text))
+    return sections
+
+
+def _sections_with_rule_languages(
     detector: LinguaDetector, text: str
-) -> list[dict]:
-    raw: list[tuple[Section, dict[str, float]]] = []
-    for a, b in split_sections(text):
-        seg = text[a:b]
-        letters = sum(1 for c in seg if is_letter(c))
-        if letters == 0:
-            continue
-        conf = dict(detector.confidence_values(seg))
-        lang = detector._language_from_confidences(
-            sorted(conf.items(), key=lambda lv: -lv[1])
-        ) if conf else UNKNOWN
-        raw.append((Section(a, b, letters, lang), conf))
+) -> list[_Section]:
+    """createSectionsWithRuleBasedLanguage (:254-299)."""
+    out: list[_Section] = []
+    prev: _Section | None = None
+    for s in split_potential_sections(text):
+        words = split_words(s.text())
+        lang = detect_language_with_rules(words, detector.languages)
+        if lang != UNKNOWN:
+            if prev is not None and prev.rule_langs == {lang}:
+                prev.merge_with(s)
+            else:
+                s.rule_langs = {lang}
+                out.append(s)
+                prev = s
+        else:
+            langs = filter_languages_by_rules(words, detector.languages)
+            if (
+                len(langs) == 1
+                and prev is not None
+                and prev.rule_langs == set(langs)
+            ):
+                prev.merge_with(s)
+            else:
+                s.rule_langs = set(langs)
+                out.append(s)
+                prev = s
+    return out
 
-    if not raw:
+
+def _should_merge_short(
+    detector: LinguaDetector,
+    cur: _Section,
+    nxt: _Section,
+    prev_conf_sec: _Section | None,
+) -> bool:
+    """shouldMergeShortRuleBasedSection (:446-494)."""
+    if cur.letters >= _MIN_RELIABLE_LETTERS:
+        return False
+    # canBeMergedWith (:236-241): next not rule-determined + overlap
+    if len(nxt.rule_langs) == 1 or not (nxt.rule_langs & cur.rule_langs):
+        return False
+
+    if (
+        nxt.letters >= _MIN_RELIABLE_LETTERS
+        and cur.letters >= 5
+        and cur.contains_non_letter()
+    ):
+        conf = detector.confidence_values(cur.text())
+        min_conf = cur.min_confidence()
+        next_conf = detector.confidence_values(nxt.text())
+        min_next = nxt.min_confidence()
+        next_map = dict(next_conf)
+        # most-common languages of cur must also be confident in next
+        common = [l for l, v in conf if v > min_conf]
+        if all(next_map.get(l, 0.0) < min_next for l in common):
+            return False
+        if prev_conf_sec is not None:
+            # does cur belong more closely to prev than to next? (:481-490)
+            cur_map = dict(conf)
+            prev_conf = prev_conf_sec.conf_list(detector)
+            next_c = cur_map.get(next_conf[0][0], 0.0) if next_conf else 0.0
+            prev_c = cur_map.get(prev_conf[0][0], 0.0) if prev_conf else 0.0
+            return next_c >= prev_c
+    return True
+
+
+def _sections_with_confidences(
+    detector: LinguaDetector, text: str
+) -> list[_Section]:
+    """createSectionsWithConfidenceValues (:363-415)."""
+    secs = _sections_with_rule_languages(detector, text)
+    conf_secs: list[_Section] = []
+    i = 0
+    while i < len(secs):
+        s = secs[i]
+        if len(s.rule_langs) == 1:
+            # rules already determined the language (:376-381)
+            s.set_conf([(next(iter(s.rule_langs)), 1.0)])
+            conf_secs.append(s)
+        else:
+            while i < len(secs) - 1:
+                if _should_merge_short(
+                    detector, s, secs[i + 1],
+                    conf_secs[-1] if conf_secs else None,
+                ):
+                    s.merge_with(secs[i + 1])
+                    i += 1
+                else:
+                    break
+            s.conf_list(detector)  # compute + cache
+            conf_secs.append(s)
+        i += 1
+    return conf_secs
+
+
+def _can_merge_confidence(
+    detector: LinguaDetector,
+    cur: _Section,
+    prev: _Section,
+    nxt: _Section | None,
+) -> bool:
+    """canMergeConfidenceSection (:499-539)."""
+    cur_rel = cur.relevant_langs(detector)
+    prev_rel = prev.relevant_langs(detector)
+    prev_cur = cur_rel & prev_rel
+    if not prev_cur:
+        return False
+    if nxt is None:
+        return True
+    nxt_rel = nxt.relevant_langs(detector)
+    cur_next = cur_rel & nxt_rel
+    if not cur_next:
+        return True
+    if prev_rel & nxt_rel:
+        # prev+next probably merge anyway -> transitively safe (:527-532)
+        return True
+    cur_map = dict(cur.conf_list(detector))
+    pc = sum(cur_map.get(l, 0.0) for l in prev_cur) / len(prev_cur)
+    nc = sum(cur_map.get(l, 0.0) for l in cur_next) / len(cur_next)
+    return pc > nc
+
+
+def detect_multi_language(detector: LinguaDetector, text: str) -> list[dict]:
+    """internalDetectMultiLanguageOf (:417-444)."""
+    sections = _sections_with_confidences(detector, text)
+    if not sections:
         return []
 
-    # Confidence-overlap merging (approximates the reference's merge
-    # heuristics, MultiLanguageDetection.kt:446-539): a section is absorbed
-    # by a neighbor whose language it also considers likely.
-    def absorbable(conf: dict[str, float], lang: str) -> bool:
-        return conf.get(lang, 0.0) >= MERGE_CONFIDENCE
+    i = 1
+    while i < len(sections):
+        cur = sections[i]
+        nxt = sections[i + 1] if i + 1 < len(sections) else None
+        if _can_merge_confidence(detector, cur, sections[i - 1], nxt):
+            sections[i - 1].merge_with(cur)
+            del sections[i]
+        else:
+            i += 1
 
-    # forward pass: merge into the previous section
-    fwd: list[tuple[Section, dict[str, float]]] = []
-    for s, conf in raw:
-        if fwd:
-            prev, prev_conf = fwd[-1]
-            if (
-                s.lang == prev.lang
-                or (s.letters < MIN_SECTION_LETTERS and s.lang == UNKNOWN)
-                or (
-                    s.letters < SHORT_SECTION_LETTERS
-                    and absorbable(conf, prev.lang)
-                )
-            ):
-                fwd[-1] = (
-                    Section(
-                        prev.start, s.end, prev.letters + s.letters, prev.lang
-                    ),
-                    prev_conf,
-                )
-                continue
-        fwd.append((s, conf))
-
-    # backward pass: absorb into the following section
-    bwd: list[tuple[Section, dict[str, float]]] = []
-    for s, conf in reversed(fwd):
-        if bwd:
-            nxt, nxt_conf = bwd[-1]
-            if s.lang == nxt.lang or (
-                s.letters < SHORT_SECTION_LETTERS
-                and absorbable(conf, nxt.lang)
-            ):
-                bwd[-1] = (
-                    Section(
-                        s.start, nxt.end, s.letters + nxt.letters, nxt.lang
-                    ),
-                    nxt_conf,
-                )
-                continue
-        bwd.append((s, conf))
-    merged = [s for s, _ in reversed(bwd)]
-
-    return [
-        {"start": s.start, "end": s.end, "letters": s.letters, "lang": s.lang}
-        for s in merged
-    ]
+    out = []
+    for s in sections:
+        conf = s.conf_list(detector)
+        out.append(
+            {
+                "start": s.start,
+                "end": s.end,
+                "letters": s.letters,
+                "lang": detector._language_from_confidences(conf),
+                "confidences": [
+                    {"lang": l, "conf": float(v)} for l, v in conf
+                ],
+            }
+        )
+    return out
 
 
 class MultiLangSections:
-    """map_batches actor stage: text -> list<struct> sections column."""
+    """map_batches actor stage: text -> list<struct> sections column
+    (start/end/letters/lang + per-section confidence values)."""
 
     def __init__(self, models_dir: str | None = None,
                  text_column: str = "text"):
@@ -188,6 +364,14 @@ class MultiLangSections:
                     ("end", pa.int32()),
                     ("letters", pa.int32()),
                     ("lang", pa.string()),
+                    (
+                        "confidences",
+                        pa.list_(
+                            pa.struct(
+                                [("lang", pa.string()), ("conf", pa.float64())]
+                            )
+                        ),
+                    ),
                 ]
             )
         )
