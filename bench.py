@@ -163,19 +163,35 @@ def run_scaling() -> dict:
         [sys.executable, __file__], env=warm_env, capture_output=True,
         text=True, check=True,
     )
-    # best-of-2 per leg: this sandbox's wall clock swings 2-3x on identical
-    # work; the minimum is the honest steady-state estimate
-    lo = min(run(8), run(8), key=lambda d: d["value"])
-    hi = min(run(32), run(32), key=lambda d: d["value"])
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    # >=3 paired replicates, MEDIAN efficiency: this sandbox's wall clock
+    # swings 2-3x on identical work, so a single pair is not evidence;
+    # pairing 8- and 32-CPU legs back-to-back keeps host noise correlated
+    # within a sample
+    import statistics
+
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    runs8, runs32, effs = [], [], []
+    for _ in range(reps):
+        r8 = run(8)
+        r32 = run(32)
+        runs8.append(r8)
+        runs32.append(r32)
+        effs.append(round((r8["value"] / r32["value"]) / (32 / 8), 3))
+    med = statistics.median(effs)
+    best8 = min(runs8, key=lambda d: d["value"])
+    best32 = min(runs32, key=lambda d: d["value"])
     return {
         "metric": "scaling_efficiency",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
-        "value": round(eff, 3),
+        "value": round(med, 3),
         "unit": "ratio",
+        "samples": effs,
+        "sec_8": [d["value"] for d in runs8],
+        "sec_32": [d["value"] for d in runs32],
+        "docs_per_sec_8": best8["docs_per_sec"],
+        "docs_per_sec_32": best32["docs_per_sec"],
+        "best_pair_efficiency": round(
+            (best8["value"] / best32["value"]) / (32 / 8), 3
+        ),
         "sf": SF_DIR,
     }
 

@@ -138,15 +138,31 @@ class _ValueCache:
             self.index[g] = n0 + k
         return np.arange(self.base_n + n0, self.base_n + needed, dtype=np.int64)
 
-    def gather(self, ids: np.ndarray) -> np.ndarray:
-        """[len(ids), L] values for mixed base/local ids."""
-        out = np.empty((len(ids), self.matrix.shape[1]), dtype=np.float64)
+    def gather(
+        self, ids: np.ndarray, col_idx: np.ndarray | None = None
+    ) -> np.ndarray:
+        """[len(ids), L] (or [len(ids), len(col_idx)]) values for mixed
+        base/local ids.  Passing ``col_idx`` copies ONLY the candidate
+        columns (np.ix_) — the gather+bincount loop is memory-bandwidth
+        bound, so not materializing the non-candidate columns directly
+        cuts the dominant traffic (e.g. 75 -> ~41 cols for Latin rows)."""
+        ncols = self.matrix.shape[1] if col_idx is None else len(col_idx)
+        out = np.empty((len(ids), ncols), dtype=np.float64)
         mb = ids < self.base_n
         if mb.any():
-            out[mb] = self.base_matrix[ids[mb]]
+            out[mb] = (
+                self.base_matrix[ids[mb]]
+                if col_idx is None
+                else self.base_matrix[np.ix_(ids[mb], col_idx)]
+            )
         ml = ~mb
         if ml.any():
-            out[ml] = self.matrix[ids[ml] - self.base_n]
+            lid = ids[ml] - self.base_n
+            out[ml] = (
+                self.matrix[lid]
+                if col_idx is None
+                else self.matrix[np.ix_(lid, col_idx)]
+            )
         return out
 
 
@@ -483,33 +499,35 @@ class LangIdScorer:
     def _values_for(
         self, ngrams: list[str], n: int, col_idx: np.ndarray | None = None
     ) -> np.ndarray:
-        """[V, L] backoff-resolved values for this batch's n-gram vocab.
+        """Backoff-resolved values for this batch's n-gram vocab:
+        [V, L] when ``col_idx`` is None, else [V, len(col_idx)] holding
+        ONLY the candidate columns (in col_idx order) — the cache rows
+        are never materialized for non-candidate languages.
 
         n<=3: via the (base + local) cache.  n>=4: resolved directly per
         batch — start from the cached 3-gram-prefix values (which already
         encode the 3->2->1 backoff) and override where the 5/4-gram tables
         hit; 4/5-grams are NOT cached (their vocabulary never saturates,
-        so caching them was pure overhead).  ``col_idx`` restricts the
-        expensive per-language 4/5-gram probes to the caller's candidate
-        columns (other columns are left as the prefix values — callers
-        must not read them)."""
+        so caching them was pure overhead)."""
         if n <= 3:
-            return self.value_cache.gather(self._resolve_low(ngrams, n))
+            return self.value_cache.gather(
+                self._resolve_low(ngrams, n), col_idx
+            )
         prefix3 = [g[:3] for g in ngrams]
         ids3 = self._resolve_low(prefix3, 3)
-        vals = self.value_cache.gather(ids3)  # gather copies -> writable
-        cols = (
+        vals = self.value_cache.gather(ids3, col_idx)  # copy -> writable
+        langs = (
             range(self.L) if col_idx is None else [int(c) for c in col_idx]
         )
         decided = np.zeros(vals.shape, dtype=bool)
         for level in range(n, 3, -1):
             hashes = fnv1a_64_batch([g[:level] for g in ngrams])
-            for li in cols:
+            for pos, li in enumerate(langs):
                 pm = self.models[li]
                 got = pm.lookup(hashes, level)
-                hit = ~np.isnan(got) & ~decided[:, li]
-                vals[hit, li] = got[hit]
-                decided[hit, li] = True
+                hit = ~np.isnan(got) & ~decided[:, pos]
+                vals[hit, pos] = got[hit]
+                decided[hit, pos] = True
         return vals
 
     def _unigram_hits(self, ngrams: list[str]) -> np.ndarray:
@@ -581,9 +599,7 @@ class LangIdScorer:
             # batch-vocab values (candidate columns only), then COLUMN-wise
             # expand+bincount: avoids materializing a [C, L] matrix (large
             # fresh allocations are pathologically slow on this host)
-            P = np.asfortranarray(
-                self._values_for(order, n, col_idx)[:, col_idx]
-            )
+            P = np.asfortranarray(self._values_for(order, n, col_idx))
             S = np.empty((nkeep, ncols), dtype=np.float64)
             for ci in range(ncols):
                 S[:, ci] = np.bincount(
