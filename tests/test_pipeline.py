@@ -158,3 +158,67 @@ def test_fast_langid_fallback_stage(ray_session):
     # resolved row untouched; unknown row re-scored by the classifier
     assert final[1] == "en"
     assert final[0] != "unknown"
+
+
+def test_resume_rejects_stale_lineage(ray_session, models_dir, cc_dir, tmp_path):
+    """A manifest written under a DIFFERENT config must not count as
+    complete: rerunning with changed settings recomputes every partition
+    instead of keeping stale output (checkpoint.py lineage matching)."""
+    from tiny_lingua_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        run_quality_filter,
+    )
+
+    out = tmp_path / "qf3"
+    cfg = QualityFilterConfig(
+        num_partitions=4, langid_concurrency=2, batch_size=256
+    )
+    run_quality_filter(cc_dir, out, cfg)
+
+    # different quality mask -> different config hash -> full recompute
+    cfg2 = QualityFilterConfig(
+        num_partitions=4, langid_concurrency=2, batch_size=256,
+        quality_drop_mask=1,
+    )
+    summary = run_quality_filter(cc_dir, out, cfg2)
+    assert summary["skipped_partitions"] == 0
+    assert summary["rows"] == 600
+
+    # identical rerun of the NEW config skips everything again
+    summary2 = run_quality_filter(cc_dir, out, cfg2)
+    assert summary2["skipped_partitions"] == 4
+
+
+def test_perplexity_scorer_unwraps_object_store_payload(
+    ray_session, models_dir
+):
+    """Regression: PerplexityScorer shipped a {'packed','cache'} payload
+    via models_ref must unwrap it (previously every row scored NaN and
+    the max_perplexity rule was silently disabled)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tiny_lingua_ray.models.loader import (
+        load_packed_models,
+        load_resolved_cache,
+    )
+    from tiny_lingua_ray.stages.perplexity import PerplexityScorer
+
+    ref = ray.put(
+        {
+            "packed": load_packed_models(models_dir, ("en", "de")),
+            "cache": load_resolved_cache(models_dir),
+        }
+    )
+    scorer = PerplexityScorer(models_ref=ref, languages=("en", "de"))
+    out = scorer(
+        pa.table(
+            {
+                "text": ["the quick brown fox jumps over the lazy dog"],
+                "pred_lang": ["en"],
+            }
+        )
+    )
+    pp = out.column("perplexity").to_pylist()
+    assert pp[0] is not None and not np.isnan(pp[0]) and pp[0] > 0
