@@ -222,3 +222,32 @@ def test_perplexity_scorer_unwraps_object_store_payload(
     )
     pp = out.column("perplexity").to_pylist()
     assert pp[0] is not None and not np.isnan(pp[0]) and pp[0] > 0
+
+
+def test_knn_ivf_scale_path(ray_session):
+    """IVF ANN (coarse quantizer + probed cells) vs exact brute force:
+    exhaustive probing returns the exact neighbor set; partial probing
+    keeps high recall on the synthetic embeddings."""
+    import numpy as np
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((400, 16))
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(400)]
+    )
+    bf = knn_brute_force(ds, query_ids=[0, 1, 2], k=5)
+    # exhaustive probe == exact neighbor sets (float path may differ in
+    # last-bit cosine, so compare (query, neighbor) pairs)
+    iv_full = knn_ivf(ds, query_ids=[0, 1, 2], k=5, n_cells=8, n_probe=8)
+    assert set(map(tuple, iv_full[["query_id", "neighbor_id"]].values)) == set(
+        map(tuple, bf[["query_id", "neighbor_id"]].values)
+    )
+    # partial probe: bounded recall loss
+    iv = knn_ivf(ds, query_ids=[0, 1, 2], k=5, n_cells=8, n_probe=5)
+    hits = set(map(tuple, iv[["query_id", "neighbor_id"]].values)) & set(
+        map(tuple, bf[["query_id", "neighbor_id"]].values)
+    )
+    assert len(hits) / len(bf) >= 0.6

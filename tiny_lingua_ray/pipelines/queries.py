@@ -608,6 +608,23 @@ def q_knn_cosine(sf_dir: str):
     return out[["query_id", "neighbor_id", "cosine", "rank"]]
 
 
+def q_knn_cosine_ivf(sf_dir: str):
+    """IVF approximate top-k — the scale path beside brute force: coarse
+    quantizer trained on a bounded sample, centroids+queries broadcast
+    once, each query scans only its n_probe nearest cells.  At these
+    parameters recall is full on the driver data, so the exact SQL
+    oracle applies; production at 100 TB would run n_probe << n_cells
+    and trade recall for a proportional corpus-scan reduction."""
+    from tiny_lingua_ray.stages.similarity import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_ivf(
+        ds, query_ids=[0, 1, 2, 3, 4], k=5, n_cells=16, n_probe=12
+    )
+    out["cosine"] = out["cosine"].round(4)
+    return out[["query_id", "neighbor_id", "cosine", "rank"]]
+
+
 def q_embedding_label_stats(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         labels = batch.column("label").to_numpy(zero_copy_only=False)
@@ -848,6 +865,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "knn_cosine": q_knn_cosine,
+    "knn_cosine_ivf": q_knn_cosine_ivf,
     "embedding_label_stats": q_embedding_label_stats,
     "cosine_near_dup": q_cosine_near_dup,
     "image_features": q_image_features,
@@ -981,6 +999,21 @@ ORACLE = {
                ROUND(SUM(sqrt(list_sum(list_transform(embedding, x -> x * x))))
                      / COUNT(*), 4) AS avg_norm
         FROM embeddings GROUP BY label
+    """,
+    "knn_cosine_ivf": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        sims AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) AS cos
+          FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM sims)
+        SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank
+        FROM ranked WHERE rank <= 5
     """,
     "cosine_near_dup": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

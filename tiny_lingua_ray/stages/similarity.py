@@ -130,6 +130,137 @@ def knn_brute_force(ds, query_ids, k: int = 5, id_column: str = "vec_id",
     ).sort_values(["query_id", "rank"], ignore_index=True)
 
 
+def _spherical_kmeans(
+    sample: np.ndarray, n_cells: int, n_iter: int = 10, seed: int = 11
+) -> np.ndarray:
+    """Deterministic spherical k-means over a normalized sample —
+    the IVF coarse quantizer.  [n_cells, D] unit centroids."""
+    rng = np.random.RandomState(seed)
+    X = _normalize(sample)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(n_iter):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return C
+
+
+class IVFTopK:
+    """map_batches fn: per-batch partial top-k restricted to probed cells.
+
+    The coarse quantizer (centroids) and the queries (with each query's
+    probed cell set) are broadcast once via ray.put; a batch assigns its
+    rows to cells with one [rows, cells] matmul and only scores rows in a
+    query's probe list — at scale this skips (1 - n_probe/n_cells) of the
+    corpus per query, the standard IVF trade."""
+
+    def __init__(self, state_ref=None, state=None, k: int = 5,
+                 id_column: str = "vec_id", vec_column: str = "embedding"):
+        if state_ref is not None:
+            import ray
+
+            state = ray.get(state_ref)
+        self.C = state["centroids"]            # [cells, D] unit
+        self.qids = np.asarray(state["qids"])
+        self.Q = state["Q"]                    # [q, D] unit
+        self.probe = state["probe"]            # [q, n_probe] cell ids
+        self.k = k
+        self.id_column = id_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_column).to_pylist())
+        M = _normalize(_as_matrix(batch.column(self.vec_column)))
+        cells = (M @ self.C.T).argmax(axis=1)
+        qcol, ncol, scol = [], [], []
+        for qi in range(len(self.qids)):
+            mask = np.isin(cells, self.probe[qi]) & (ids != self.qids[qi])
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            row = M[cand] @ self.Q[qi]
+            take = min(self.k, len(cand))
+            top = np.argpartition(-row, take - 1)[:take]
+            for j in top:
+                qcol.append(int(self.qids[qi]))
+                ncol.append(int(ids[cand[j]]))
+                scol.append(float(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(qcol, pa.int64()),
+                "neighbor_id": pa.array(ncol, pa.int64()),
+                "cosine": pa.array(scol, pa.float64()),
+            }
+        )
+
+
+def knn_ivf(ds, query_ids, k: int = 5, n_cells: int = 16, n_probe: int = 4,
+            sample_size: int = 4096, id_column: str = "vec_id",
+            vec_column: str = "embedding"):
+    """IVF approximate top-k cosine search — the scale path next to
+    ``knn_brute_force``: train a coarse quantizer on a bounded sample,
+    broadcast centroids+queries once, and scan only each query's
+    ``n_probe`` nearest cells.  ``n_probe == n_cells`` degenerates to
+    exact brute force (tested)."""
+    import pandas as pd
+
+    qset = set(int(q) for q in query_ids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        return batch.filter(pa.array(np.isin(ids, list(qset))))
+
+    qtab = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    Q = _normalize(np.asarray(qtab[vec_column].tolist(), dtype=np.float64))
+
+    # bounded training sample (driver holds <= sample_size rows)
+    sample = ds.limit(sample_size).to_pandas()
+    C = _spherical_kmeans(
+        np.asarray(sample[vec_column].tolist(), dtype=np.float64), n_cells
+    )
+    n_probe = min(n_probe, len(C))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+
+    state = {
+        "centroids": C,
+        "qids": qtab[id_column].to_numpy(),
+        "Q": Q,
+        "probe": probe,
+    }
+    try:
+        import ray
+
+        sref = ray.put(state) if ray.is_initialized() else None
+    except ImportError:
+        sref = None
+    kwargs = {"state_ref": sref} if sref is not None else {"state": state}
+
+    partials = ds.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs={
+            **kwargs, "k": k,
+            "id_column": id_column, "vec_column": vec_column,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        top = heapq.nlargest(k, g.itertuples(index=False),
+                             key=lambda r: (r.cosine, -r.neighbor_id))
+        for rank, r in enumerate(top, 1):
+            out.append((qid, r.neighbor_id, r.cosine, rank))
+    return pd.DataFrame(
+        out, columns=["query_id", "neighbor_id", "cosine", "rank"]
+    ).sort_values(["query_id", "rank"], ignore_index=True)
+
+
 def hyperplane_codes(M: np.ndarray, n_planes: int = 16, dim: int | None = None,
                      seed: int = _HP_SEED) -> np.ndarray:
     """Random-hyperplane LSH bucket code per row (uint64)."""
