@@ -42,6 +42,35 @@ def cmd_detect(args) -> int:
     else:
         texts = [ln.rstrip("\n") for ln in sys.stdin]
     for t in texts:
+        if args.multi:
+            # multi-language sectioning (the reference's GUI surface,
+            # app/multilanguage/*) as a CLI
+            from tiny_lingua_ray.multilang import detect_multi_language
+
+            secs = detect_multi_language(det, t)
+            print(
+                json.dumps(
+                    {
+                        "text": t,
+                        "sections": [
+                            {
+                                "start": s["start"],
+                                "end": s["end"],
+                                "letters": s["letters"],
+                                "lang": s["lang"],
+                                "section_text": t[s["start"] : s["end"]],
+                                "top": [
+                                    (c["lang"], round(c["conf"], 4))
+                                    for c in s["confidences"][:3]
+                                ],
+                            }
+                            for s in secs
+                        ],
+                    },
+                    ensure_ascii=False,
+                )
+            )
+            continue
         conf = det.confidence_values(t)
         lang = det._language_from_confidences(conf)
         top = [(l, round(v, 4)) for l, v in conf[:3]]
@@ -113,6 +142,10 @@ def main(argv=None) -> int:
 
     d = sub.add_parser("detect", help="detect language of text/stdin lines")
     d.add_argument("--text")
+    d.add_argument(
+        "--multi", action="store_true",
+        help="multi-language sectioning (per-section language + confidences)",
+    )
     d.set_defaults(fn=cmd_detect)
 
     r = sub.add_parser("run", help="run the quality-filter pipeline")

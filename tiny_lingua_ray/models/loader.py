@@ -118,7 +118,11 @@ def unigram_hit_matrix(
     return out
 
 
-RESOLVED_CACHE_DIR = "resolved_cache_v2"  # v2: packed high tier was empty in v1
+# v2: packed high tier was empty in v1
+# v3: rows sorted by ngram FNV hash + hash index arrays — actors look up
+#     via vectorized searchsorted on the mmap instead of each building a
+#     ~1M-entry Python dict at init (per-actor fixed cost hurt scaling)
+RESOLVED_CACHE_DIR = "resolved_cache_v3"
 
 
 def _save_npy(path: Path, arr: np.ndarray) -> None:
@@ -166,10 +170,22 @@ def build_resolved_cache(models_dir: Path, languages=ALL_ISO1) -> Path:
     unigrams = [g for g in ngrams if len(g) == 1]
     uni_matrix = unigram_hit_matrix(models, unigrams)
 
-    _save_npy(out_dir / "matrix.npy", matrix)
-    _save_npy(out_dir / "ngrams.npy", np.array(ngrams))
-    _save_npy(out_dir / "uni_matrix.npy", uni_matrix)
-    _save_npy(out_dir / "uni_ngrams.npy", np.array(unigrams))
+    from tiny_lingua_ray.models.train import fnv1a_64_batch
+
+    # sort rows by ngram hash: consumers index with searchsorted on the
+    # mmap'd hash array (no per-actor dict build; collisions share the
+    # 64-bit-FNV assumption the packed tables already make)
+    hashes = fnv1a_64_batch(ngrams)
+    order = np.argsort(hashes, kind="stable")
+    uni_hashes = fnv1a_64_batch(unigrams)
+    uni_order = np.argsort(uni_hashes, kind="stable")
+
+    _save_npy(out_dir / "hash.npy", hashes[order])
+    _save_npy(out_dir / "matrix.npy", matrix[order])
+    _save_npy(out_dir / "ngrams.npy", np.array(ngrams)[order])
+    _save_npy(out_dir / "uni_hash.npy", uni_hashes[uni_order])
+    _save_npy(out_dir / "uni_matrix.npy", uni_matrix[uni_order])
+    _save_npy(out_dir / "uni_ngrams.npy", np.array(unigrams)[uni_order])
     _save_npy(out_dir / "languages.npy", np.array(languages))
 
     # Concatenated packed tables: one mmap per array instead of 150
@@ -189,7 +205,7 @@ def load_resolved_cache(models_dir: Path) -> dict | None:
     """Raw .npy layout; the big matrix is memory-mapped read-only so every
     worker process on a node shares one physical copy via the page cache."""
     d = Path(models_dir) / RESOLVED_CACHE_DIR
-    if not (d / "languages.npy").exists():
+    if not (d / "languages.npy").exists() or not (d / "hash.npy").exists():
         return None
     try:
         return {
@@ -197,11 +213,14 @@ def load_resolved_cache(models_dir: Path) -> dict | None:
                 str(x)
                 for x in np.load(d / "languages.npy", allow_pickle=False)
             ],
-            "ngrams": np.load(d / "ngrams.npy", allow_pickle=False),
+            # hash-sorted row index: lookups are searchsorted on the mmap
+            "hash": np.load(d / "hash.npy", allow_pickle=False, mmap_mode="r"),
             "matrix": np.load(
                 d / "matrix.npy", allow_pickle=False, mmap_mode="r"
             ),
-            "uni_ngrams": np.load(d / "uni_ngrams.npy", allow_pickle=False),
+            "uni_hash": np.load(
+                d / "uni_hash.npy", allow_pickle=False, mmap_mode="r"
+            ),
             "uni_matrix": np.load(
                 d / "uni_matrix.npy", allow_pickle=False, mmap_mode="r"
             ),

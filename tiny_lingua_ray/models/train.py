@@ -209,6 +209,11 @@ def ensure_models(
         or not (out / l / "high.parquet").exists()
     ]
     if not missing:
+        if tuple(languages) == tuple(ALL_ISO1):
+            # cheap no-op when current; rebuilds after a cache-version bump
+            from tiny_lingua_ray.models.loader import build_resolved_cache
+
+            build_resolved_cache(out, languages)
         return out
 
     if use_ray is None:

@@ -7,15 +7,18 @@ All operate over a text column and are built from Ray Data primitives:
 * lsh_candidate_pairs explode signatures into (band, bucket) rows ->
                      groupby -> within-bucket pairs (the only shuffle)
 * simhash_batch      stateless map_batches -> 64-bit simhash
-* jaccard_verify     exact n-gram Jaccard for candidate pairs (broadcast
-                     of the pair list's shingle sets via ray.put when used
-                     distributed; driver-side for small candidate sets)
+* jaccard            exact n-gram Jaccard; the distributed candidate
+                     verification lives in pipelines/queries.q_jaccard_pairs
+                     (broadcast pair list + one shingle shuffle)
 
 Scale notes: MinHash-LSH at 1e12 docs = the canonical shingle->minhash->
 band->bucket-groupby pipeline; bucket groupby is the shuffle, bands are
 processed independently.  Hot buckets (boilerplate) are capped at
-MAX_BUCKET to bound the pair explosion — dropped excess is logged in the
-output, never silent.
+MAX_BUCKET to bound the pair explosion — capped buckets and dropped id
+counts are emitted through the logging module, never silent.
+
+Hash schemes: "fnv" (default, cheap) or "md5" (bit-identical to DuckDB
+md5_number_lower -> the whole sketch is SQL-oracle-verifiable).
 """
 
 from __future__ import annotations

@@ -88,41 +88,47 @@ class _ValueCache:
     shipped via ray.put / loaded from disk — covers every ngram any model
     knows) plus a small local overflow for ngrams first seen at query time.
     Base ids are [0, base_n); local ids continue from base_n.
+
+    The base is indexed by a hash-sorted uint64 array (searchsorted on
+    the mmap) — building a ~1M-entry Python dict per actor was a fixed
+    init cost that depressed scaling efficiency at high concurrency.
     """
 
     def __init__(
         self,
         num_langs: int,
-        base_ngrams=None,
+        base_hashes: np.ndarray | None = None,
         base_matrix: np.ndarray | None = None,
     ):
-        if base_matrix is not None and base_ngrams is not None:
-            self.base_index: dict[str, int] = {
-                g: i for i, g in enumerate(base_ngrams)
-            }
+        if base_matrix is not None and base_hashes is not None:
+            self.base_hashes = base_hashes  # sorted uint64, possibly mmap
             self.base_matrix = base_matrix
+            self.base_n = len(base_hashes)
         else:
-            self.base_index = {}
+            self.base_hashes = None
             self.base_matrix = np.empty((0, num_langs), dtype=np.float64)
-        self.base_n = len(self.base_index)
+            self.base_n = 0
         self.index: dict[str, int] = {}
         self.matrix = np.empty((4096, num_langs), dtype=np.float64)
 
     def rows_for(self, ngrams: list[str]) -> tuple[np.ndarray, list[str]]:
         """Indices for known ngrams (-1 for unknown) + the unknown list."""
-        idx = np.empty(len(ngrams), dtype=np.int64)
+        idx = np.full(len(ngrams), -1, dtype=np.int64)
+        if self.base_n:
+            hs = fnv1a_64_batch(ngrams)
+            pos = np.searchsorted(self.base_hashes, hs)
+            np.minimum(pos, self.base_n - 1, out=pos)
+            found = np.asarray(self.base_hashes[pos]) == hs
+            idx[found] = pos[found]
         missing: list[str] = []
-        bget = self.base_index.get
         lget = self.index.get
-        base_n = self.base_n
-        for i, g in enumerate(ngrams):
-            j = bget(g)
+        for i in np.nonzero(idx < 0)[0]:
+            g = ngrams[i]
+            j = lget(g)
             if j is None:
-                j = lget(g)
-                j = -1 if j is None else base_n + j
-            idx[i] = j
-            if j < 0:
                 missing.append(g)
+            else:
+                idx[i] = self.base_n + j
         return idx, missing
 
     def insert(self, ngrams: list[str], values: np.ndarray) -> np.ndarray:
@@ -263,6 +269,7 @@ class LangIdScorer:
         if (
             resolved_cache is not None
             and list(resolved_cache["languages"]) == list(self.languages)
+            and "hash" in resolved_cache
         ):
             # NOTE: matrix may be an mmap — do NOT copy it (page-cache
             # sharing across every worker process on the node)
@@ -272,15 +279,18 @@ class LangIdScorer:
             float(np.asarray(base_matrix[:: max(1, len(base_matrix) // 65536)]).sum())
             self.value_cache = _ValueCache(
                 self.L,
-                base_ngrams=[str(g) for g in resolved_cache["ngrams"]],
+                base_hashes=resolved_cache["hash"],
                 base_matrix=base_matrix,
             )
-            self.uni_hit_cache = {
-                str(g): resolved_cache["uni_matrix"][i]
-                for i, g in enumerate(resolved_cache["uni_ngrams"])
-            }
+            # unigram union table: searchsorted index; a miss means the
+            # unigram is absent from EVERY model (all-False), no probing
+            self.uni_hashes = resolved_cache["uni_hash"]
+            self.uni_base = resolved_cache["uni_matrix"]
+            self.uni_hit_cache: dict[str, np.ndarray] = {}
         else:
             self.value_cache = _ValueCache(self.L)
+            self.uni_hashes = None
+            self.uni_base = None
             self.uni_hit_cache = {}
 
         from tiny_lingua_ray.stages.fast_rules import FastRules
@@ -532,6 +542,15 @@ class LangIdScorer:
 
     def _unigram_hits(self, ngrams: list[str]) -> np.ndarray:
         """bool[V, L]: exact unigram presence (J2, no backoff)."""
+        if self.uni_hashes is not None and len(self.uni_hashes):
+            hs = fnv1a_64_batch(ngrams)
+            pos = np.searchsorted(self.uni_hashes, hs)
+            np.minimum(pos, len(self.uni_hashes) - 1, out=pos)
+            found = np.asarray(self.uni_hashes[pos]) == hs
+            out = np.zeros((len(ngrams), self.L), dtype=bool)
+            if found.any():
+                out[found] = self.uni_base[pos[found]]
+            return out
         out = np.empty((len(ngrams), self.L), dtype=bool)
         missing_idx = [
             i for i, g in enumerate(ngrams) if g not in self.uni_hit_cache
