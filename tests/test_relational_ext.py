@@ -1,0 +1,81 @@
+"""Extended relational operators (relational_ext.py) vs DuckDB oracles.
+
+Each of the round-2 operators — shuffle hash/band join, as-of join,
+broadcast semi-join, grouped top-k, deterministic hash split, rolling
+window, distributed percentiles — is compared row-for-row (count +
+sorted-schema + order-insensitive value hash) against its SQL oracle at
+sf0.001, mirroring the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.check_oracles import TABLES, canonical_hash, to_pandas  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EXT_KEYS = (
+    "order_lineitem_band_join",
+    "asof_event_order",
+    "semi_join_big_spenders",
+    "group_topk_docs",
+    "hash_split",
+    "rolling_7d_value",
+    "percentiles_chars",
+)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("key", EXT_KEYS)
+def test_ext_query_matches_oracle(ray_session, ddb, key):
+    from tiny_lingua_ray.pipelines.relational_ext import ORACLE_EXT, QUERIES_EXT
+
+    got = to_pandas(QUERIES_EXT[key](SF_DIR))
+    want = ddb.sql(ORACLE_EXT[key]).df()
+    assert len(got) == len(want), (key, len(got), len(want))
+    assert sorted(got.columns) == sorted(want.columns)
+    assert canonical_hash(got) == canonical_hash(want), key
+
+
+def test_asof_join_no_match_rows_dropped(ray_session):
+    """Events earlier than every order of their user are dropped (inner
+    as-of semantics) — at sf0.001 all events are later than all orders,
+    so the join is total; assert that invariant explicitly."""
+    import pyarrow.parquet as pq
+
+    from tiny_lingua_ray.pipelines.relational_ext import q_asof_event_order
+
+    n_events = pq.read_metadata(f"{SF_DIR}/events.parquet").num_rows
+    out = to_pandas(q_asof_event_order(SF_DIR))
+    assert len(out) == n_events
+    assert out["o_orderkey"].notna().all()
+
+
+def test_hash_split_deterministic(ray_session):
+    """Same input -> identical split assignment across runs (no RNG)."""
+    from tiny_lingua_ray.pipelines.relational_ext import q_hash_split
+
+    a = to_pandas(q_hash_split(SF_DIR)).sort_values("split").reset_index(drop=True)
+    b = to_pandas(q_hash_split(SF_DIR)).sort_values("split").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a["split"]) == {"train", "val", "test"}
+    # ~80/10/10 by construction
+    total = a["n_docs"].sum()
+    train = int(a.loc[a["split"] == "train", "n_docs"].iloc[0])
+    assert 0.6 < train / total < 0.95

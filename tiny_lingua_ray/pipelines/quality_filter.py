@@ -406,6 +406,20 @@ def run_quality_filter(
     clear_incomplete_partition_data(out, cfg.num_partitions, lineage)
 
     ds = rd.read_parquet(str(input_path))
+    cols = set(ds.schema().names)
+    if "html" not in cols:
+        if {"doc_id", "text"} <= cols:
+            # documents-shaped input: adapt instead of failing deep in a
+            # worker with a KeyError on the missing html column
+            from tiny_lingua_ray.sources.cc_pages import documents_to_cc_pages
+
+            ds = documents_to_cc_pages(ds)
+        else:
+            raise ValueError(
+                "input must be cc_pages-shaped (url, warc_ts, html, text, "
+                "lang) or documents-shaped (doc_id, text); got columns "
+                f"{sorted(cols)}"
+            )
     result = quality_filter_dataset(
         ds, cfg, skip_partitions=frozenset(done)
     )

@@ -810,33 +810,10 @@ def q_quality_filter_flagship(sf_dir: str):
         QualityFilterConfig,
         quality_filter_dataset,
     )
-    from tiny_lingua_ray.sources.cc_pages import HTML_PREFIX, HTML_SUFFIX
+    from tiny_lingua_ray.sources.cc_pages import documents_to_cc_pages
 
-    def to_cc(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        return pa.table(
-            {
-                "url": pa.array(
-                    [f"https://docs.example/{i}" for i in ids], pa.string()
-                ),
-                "warc_ts": pa.array(
-                    np.zeros(len(ids), dtype="datetime64[us]")
-                ),
-                "html": pa.array(
-                    [
-                        HTML_PREFIX + (t or "").encode("utf-8") + HTML_SUFFIX
-                        for t in texts
-                    ],
-                    pa.binary(),
-                ),
-                "text": pa.array(texts, pa.string()),
-                "lang": pa.array(["" for _ in ids], pa.string()),
-            }
-        )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        to_cc, batch_format="pyarrow"
+    ds = documents_to_cc_pages(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
     )
     cfg = QualityFilterConfig(num_partitions=16)
     return quality_filter_dataset(ds, cfg)
@@ -1224,3 +1201,12 @@ def _minhash_oracle() -> str:
 
 ORACLE["simhash"] = _simhash_oracle()
 ORACLE["minhash_dedup"] = _minhash_oracle()
+
+# Extended join / window / split operators (round 2) — see relational_ext.py
+from tiny_lingua_ray.pipelines.relational_ext import (  # noqa: E402
+    ORACLE_EXT,
+    QUERIES_EXT,
+)
+
+QUERIES.update(QUERIES_EXT)
+ORACLE.update(ORACLE_EXT)

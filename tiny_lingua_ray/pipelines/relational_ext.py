@@ -1,0 +1,493 @@
+"""Extended relational / training-data operators (round 2).
+
+Distributed join & window shapes the core queries module does not cover,
+each with a DuckDB SQL oracle (ORACLE_EXT):
+
+- shuffle hash join for LARGE x LARGE sides (cogrouped by key shard; the
+  broadcast join in queries.py only handles a small side) with a band
+  (date-range) predicate,
+- distributed as-of join (hash-cogroup + per-shard pandas ``merge_asof``),
+- broadcast semi-join (small distinct key set via ``ray.put``),
+- grouped top-k (per-block partial top-k, tiny merge — never a
+  full-cardinality shuffle),
+- deterministic hash split (train/val/test by md5 of the id — the
+  Ray side is bit-identical to DuckDB ``md5_number_lower``),
+- rolling 7-day window over a distributed daily pre-aggregate,
+- exact distributed percentiles via value-domain histogram partials.
+
+Scale notes per operator are in the docstrings.  The cogroup idiom used
+by the two joins: tag each side, ``union`` into one Dataset with a
+common schema, ``groupby(shard)`` once, and run one pandas-C join per
+shard — one all-to-all exchange total, never one Ray group per key
+(see stages/dedup.py for the shard-merge rationale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tiny_lingua_ray.stages.dedup import _md5_lower64
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    from tiny_lingua_ray.pipelines.queries import _read as r
+
+    return r(sf_dir, table, columns=columns)
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Timestamp column -> int64 microseconds (explicit unit: ns-backed
+    pandas materialization off-by-1000x is a documented footgun,
+    see q_user_sessions)."""
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Shuffle hash join (large x large) with band predicate
+# ---------------------------------------------------------------------------
+
+def q_order_lineitem_band_join(sf_dir: str):
+    """Per-order count/sum of lineitems shipped within 90 days of the
+    order date: equality on orderkey + date-band predicate.
+
+    Both sides are large, so no broadcast: shard = orderkey % P on BOTH
+    sides, union, ONE groupby(shard) exchange, then a pandas-C hash join
+    + band filter + aggregate inside each shard.  At 100 TB this moves
+    each row exactly once and the per-shard join is C-speed; P scales
+    with cluster size (keys are uniform, no salt needed — a skewed key
+    would get the MAX_BUCKET-style cap treatment from stages/dedup.py).
+    """
+    P = 32
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        key = b.column("o_orderkey")
+        return pa.table(
+            {
+                "shard": pc.cast(pc.bit_wise_and(key, P - 1), pa.int64()),
+                "key": pc.cast(key, pa.int64()),
+                "ts_us": _ts_us(b.column("o_orderdate")),
+                "price": pa.nulls(b.num_rows, pa.float64()),
+                "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def prep_lineitem(b: pa.Table) -> pa.Table:
+        key = b.column("l_orderkey")
+        return pa.table(
+            {
+                "shard": pc.cast(pc.bit_wise_and(key, P - 1), pa.int64()),
+                "key": pc.cast(key, pa.int64()),
+                "ts_us": _ts_us(b.column("l_shipdate")),
+                "price": pc.cast(b.column("l_extendedprice"), pa.float64()),
+                "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def join_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0][["key", "ts_us"]].rename(columns={"ts_us": "o_ts"})
+        l = df[df["side"] == 1][["key", "ts_us", "price"]]
+        m = l.merge(o, on="key", how="inner")
+        d = m["ts_us"] - m["o_ts"]
+        m = m[(d >= 0) & (d <= 90 * _US_PER_DAY)]
+        g = m.groupby("key", as_index=False).agg(
+            n_items=("price", "size"), sum_price=("price", "sum")
+        )
+        g["sum_price"] = g["sum_price"].round(2)
+        return g.rename(columns={"key": "o_orderkey"})
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        prep_orders, batch_format="pyarrow"
+    )
+    items = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate", "l_extendedprice"]
+    ).map_batches(prep_lineitem, batch_format="pyarrow")
+    return (
+        orders.union(items)
+        .groupby("shard")
+        .map_groups(join_in_shard, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed as-of join
+# ---------------------------------------------------------------------------
+
+def q_asof_event_order(sf_dir: str):
+    """For every event, the most recent order (by the same customer) at
+    or before the event timestamp — the classic as-of join.
+
+    Ray Data has no asof-join; composition: pre-reduce the right side to
+    one row per (custkey, orderdate) [max orderkey — makes the match
+    deterministic], hash-cogroup both sides on user shard, and run
+    pandas ``merge_asof`` (sorted C merge) once per shard.  One
+    exchange; per-shard memory is events+orders of 1/P of the users.
+    """
+    P = 16
+
+    def prep_events(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id")
+        return pa.table(
+            {
+                "shard": pc.cast(pc.bit_wise_and(uid, P - 1), pa.int64()),
+                "key": pc.cast(uid, pa.int64()),
+                "ts_us": _ts_us(b.column("ts")),
+                "id": pc.cast(b.column("event_id"), pa.int64()),
+                "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        # block-local pre-reduce: one row per (custkey, orderdate)
+        df = pa.table(
+            {
+                "key": pc.cast(b.column("o_custkey"), pa.int64()),
+                "ts_us": _ts_us(b.column("o_orderdate")),
+                "id": pc.cast(b.column("o_orderkey"), pa.int64()),
+            }
+        ).to_pandas()
+        g = df.groupby(["key", "ts_us"], as_index=False)["id"].max()
+        g["shard"] = g["key"] % P
+        g["side"] = np.int8(1)
+        return pa.Table.from_pandas(
+            g[["shard", "key", "ts_us", "id", "side"]], preserve_index=False
+        )
+
+    def asof_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df[df["side"] == 0][["key", "ts_us", "id"]].sort_values("ts_us")
+        od = df[df["side"] == 1][["key", "ts_us", "id"]]
+        # cross-block duplicates of (key, ts_us) can survive the
+        # block-local pre-reduce; finish it here (tiny per shard)
+        od = (
+            od.groupby(["key", "ts_us"], as_index=False)["id"]
+            .max()
+            .sort_values("ts_us")
+        )
+        m = pd.merge_asof(
+            ev.rename(columns={"id": "event_id"}),
+            od.rename(columns={"id": "o_orderkey"}),
+            on="ts_us",
+            by="key",
+            direction="backward",
+        )
+        m = m.dropna(subset=["o_orderkey"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype(np.int64),
+                "user_id": m["key"].astype(np.int64),
+                "o_orderkey": m["o_orderkey"].astype(np.int64),
+            }
+        )
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        prep_events, batch_format="pyarrow"
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    return (
+        events.union(orders)
+        .groupby("shard")
+        .map_groups(asof_in_shard, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast semi-join
+# ---------------------------------------------------------------------------
+
+def q_semi_join_big_spenders(sf_dir: str):
+    """Events by users who placed at least one order over 300: semi-join
+    with a SMALL distinct key set -> broadcast it (``ray.put`` once, read
+    zero-copy in every filter task) instead of shuffling the events.
+
+    The distinct-key reduction itself is distributed (per-block unique
+    partials -> tiny driver union); only the deduplicated key set — not
+    the orders table — crosses to the driver.
+    """
+    import ray
+
+    def key_partial(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b.column("o_totalprice"), 300.0)
+        keys = pc.unique(b.filter(keep).column("o_custkey"))
+        return pa.table({"k": pc.cast(keys, pa.int64())})
+
+    keys_ds = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(key_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    key_arr = np.unique(keys_ds["k"].to_numpy())
+    keys_ref = ray.put(key_arr)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)  # zero-copy plasma read per task
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        mask = np.isin(uid, keys, assume_unique=False)
+        t = b.filter(pa.array(mask))
+        df = (
+            pa.table({"event_type": t.column("event_type")})
+            .to_pandas()
+            .groupby("event_type", as_index=False)
+            .size()
+            .rename(columns={"size": "n_events"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "event_type"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k
+# ---------------------------------------------------------------------------
+
+def q_group_topk_docs(sf_dir: str):
+    """Top-3 longest documents per language (rank = n_chars desc, doc_id
+    asc).  Per-block partial top-3 per group, then one tiny merge of
+    nlangs x 3 x nblocks rows — the full table is never shuffled and the
+    merge input is O(groups x k x blocks), independent of row count."""
+    K = 3
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "lang": b.column("lang"),
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+            }
+        ).to_pandas()
+        top = (
+            df.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+            .groupby("lang", as_index=False)
+            .head(K)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    parts = (
+        _read(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = parts.sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    top = top.groupby("lang", as_index=False).head(K).reset_index(drop=True)
+    top["rk"] = top.groupby("lang").cumcount() + 1
+    return top[["lang", "doc_id", "n_chars", "rk"]]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split
+# ---------------------------------------------------------------------------
+
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test split: bucket = md5(doc_id) % 10
+    (<8 train, 8 val, 9 test) — reproducible across runs/engines, no
+    RNG, bit-identical to DuckDB ``md5_number_lower`` so the whole split
+    is oracle-verified.  Per-block partial counts -> 3-row groupby.
+
+    Scale note: md5-per-id costs ~1 us/row; a production split would use
+    the vectorized FNV path (stages/dedup.fnv1a_64) — md5 here buys SQL
+    verifiability of the exact assignment.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        buckets = np.fromiter(
+            (_md5_lower64(str(i)) % 10 for i in ids), dtype=np.int64, count=len(ids)
+        )
+        split = np.where(buckets < 8, "train", np.where(buckets == 8, "val", "test"))
+        df = pd.DataFrame(
+            {"split": split, "n_chars": b.column("n_chars").to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("split", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day window
+# ---------------------------------------------------------------------------
+
+def q_rolling_7d_value(sf_dir: str):
+    """7-day rolling sum of daily event value per event_type.
+
+    The heavy reduction (rows -> one value per (type, day)) is the
+    distributed part: block partials -> groupby.  The window runs on the
+    pre-reduced frame, bounded by days x types (tens of KB for years of
+    data), per type — never on raw rows.  Daily sums are rounded to 6
+    decimals on BOTH sides before the window so the rolling accumulation
+    is order-insensitive at the 4-decimal output precision."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b["ts"], unit="day")
+        df = pa.table(
+            {"event_type": b["event_type"], "day": day, "value": b["value"]}
+        ).to_pandas()
+        g = df.groupby(["event_type", "day"], as_index=False).agg(v=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    daily = (
+        _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("v", alias_name="v"))
+        .to_pandas()
+    )
+    daily["v"] = daily["v"].round(6)
+    daily = daily.sort_values(["event_type", "day"])
+
+    def roll(g: pd.DataFrame) -> pd.Series:
+        return g.rolling("7D", on="day")["v"].sum()
+
+    daily["v7"] = (
+        daily.groupby("event_type", group_keys=False)[["day", "v"]].apply(roll).round(4)
+    )
+    return daily[["event_type", "day", "v7"]]
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed percentiles
+# ---------------------------------------------------------------------------
+
+def q_percentiles_chars(sf_dir: str):
+    """Exact p50/p90/p99 of document length without a global sort:
+    per-block value-count partials over the (naturally bounded) discrete
+    length domain -> one tiny groupby -> CDF inversion on the driver.
+    quantile index matches DuckDB quantile_disc: sorted[ceil(q*n) - 1].
+
+    Scale note: cost is O(distinct values), not O(rows) — for char
+    lengths distinct <= max doc length; for unbounded domains swap in a
+    fixed-width histogram or t-digest (approximate) partial."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b.column("n_chars"))
+        return pa.table(
+            {
+                "n_chars": pc.cast(vc.field("values"), pa.int64()),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        _read(sf_dir, "documents", columns=["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("n_chars")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    vals = hist["n_chars"].to_numpy()
+    cum = hist["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+
+    def pick(q: float) -> int:
+        rank = int(np.ceil(q * n))  # 1-based rank, = ceil(q*n)-1 0-based
+        return int(vals[np.searchsorted(cum, rank)])
+
+    return pd.DataFrame(
+        {"p50": [pick(0.5)], "p90": [pick(0.9)], "p99": [pick(0.99)]}
+    )
+
+
+QUERIES_EXT = {
+    "order_lineitem_band_join": q_order_lineitem_band_join,
+    "asof_event_order": q_asof_event_order,
+    "semi_join_big_spenders": q_semi_join_big_spenders,
+    "group_topk_docs": q_group_topk_docs,
+    "hash_split": q_hash_split,
+    "rolling_7d_value": q_rolling_7d_value,
+    "percentiles_chars": q_percentiles_chars,
+}
+
+
+ORACLE_EXT = {
+    "order_lineitem_band_join": """
+        SELECT o_orderkey,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        GROUP BY o_orderkey
+    """,
+    "asof_event_order": """
+        WITH o AS (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY o_custkey, o_orderdate)
+        SELECT e.event_id, e.user_id, o.o_orderkey
+        FROM events e
+        ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "semi_join_big_spenders": """
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events
+        WHERE user_id IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300)
+        GROUP BY event_type
+    """,
+    "group_topk_docs": """
+        SELECT lang, doc_id, n_chars, rk FROM (
+          SELECT lang, doc_id, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
+          FROM documents) WHERE rk <= 3
+    """,
+    "hash_split": """
+        WITH s AS (
+          SELECT n_chars,
+                 md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 AS b
+          FROM documents)
+        SELECT CASE WHEN b < 8 THEN 'train'
+                    WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM s GROUP BY 1
+    """,
+    "rolling_7d_value": """
+        WITH d AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 ROUND(SUM(value), 6) AS v
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, day,
+               ROUND(SUM(v) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4)
+               AS v7
+        FROM d
+    """,
+    "percentiles_chars": """
+        SELECT quantile_disc(n_chars, 0.50) AS p50,
+               quantile_disc(n_chars, 0.90) AS p90,
+               quantile_disc(n_chars, 0.99) AS p99
+        FROM documents
+    """,
+}

@@ -169,3 +169,36 @@ def _write_shard(s: int, rows: int, f: Path, corpus=None) -> None:
 
 def default_cc_dir(total_rows: int) -> Path:
     return Path(f"/tmp/tlr_cc_pages/rows{total_rows}")
+
+
+def documents_to_cc_pages(ds):
+    """Adapt a documents-shaped Dataset (doc_id, text, ...) to the
+    cc_pages input contract (url, warc_ts, html, text, lang): wraps each
+    text in a minimal page so the extract stage's byte-identical
+    text-per-url invariant still holds.  Used by the flagship query and
+    by the CLI when the input parquet has no ``html`` column."""
+    import numpy as np
+    import pyarrow as pa
+
+    def to_cc(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"https://docs.example/{i}" for i in ids], pa.string()
+                ),
+                "warc_ts": pa.array(np.zeros(len(ids), dtype="datetime64[us]")),
+                "html": pa.array(
+                    [
+                        HTML_PREFIX + (t or "").encode("utf-8") + HTML_SUFFIX
+                        for t in texts
+                    ],
+                    pa.binary(),
+                ),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["" for _ in ids], pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_cc, batch_format="pyarrow")
