@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from tiny_lingua_ray.models.train import fnv1a_64
+from tiny_lingua_ray.models.train import fnv1a_64, fnv1a_64_batch
 
 NUM_PERM = 64
 NUM_BANDS = 16
@@ -48,6 +48,18 @@ def _md5_lower64(s: str) -> int:
     import struct
 
     return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[8:])[0]
+
+
+def _md5_lower64_batch(strs: list[str]) -> np.ndarray:
+    import hashlib
+    import struct
+
+    unpack, md5 = struct.unpack, hashlib.md5
+    return np.fromiter(
+        (unpack("<Q", md5(s.encode("utf-8")).digest()[8:])[0] for s in strs),
+        dtype=np.uint64,
+        count=len(strs),
+    )
 
 
 def char_shingles(
@@ -73,6 +85,54 @@ def char_shingles(
     )
 
 
+# Adaptive chunking bound for the vectorized sketch kernels: the 64 x U
+# permutation-value matrix for U unique shingles is 8 B each -> ~100 MB
+# transient per worker at this cap.
+_MAX_CHUNK_SHINGLES = 200_000
+
+
+def _shingle_chunks(texts: list[str], k: int, scheme: str):
+    """Yield (uniq_hashes, per-doc index arrays, doc offset) chunks.
+
+    Shingles are deduplicated ACROSS docs in the chunk, so each distinct
+    shingle string is hashed exactly once per chunk (the md5 scheme's
+    per-string Python hashing made per-doc hashing the old hot spot —
+    boilerplate-heavy web text repeats most shingles across docs)."""
+    memo: dict[str, int] = {}
+    uniq: list[str] = []
+    idxs: list[np.ndarray] = []
+    start = 0
+    for d, raw in enumerate(texts):
+        t = (raw or "").lower()
+        if not t:
+            ss: set[str] = set()
+        elif len(t) < k:
+            ss = {t}
+        else:
+            ss = {t[i : i + k] for i in range(len(t) - k + 1)}
+        idx = np.empty(len(ss), dtype=np.int64)
+        for j, s in enumerate(ss):
+            v = memo.get(s)
+            if v is None:
+                v = memo[s] = len(uniq)
+                uniq.append(s)
+            idx[j] = v
+        idxs.append(idx)
+        if len(uniq) >= _MAX_CHUNK_SHINGLES:
+            hashes = (
+                _md5_lower64_batch(uniq)
+                if scheme == "md5"
+                else fnv1a_64_batch(uniq)
+            )
+            yield hashes, idxs, start
+            memo, uniq, idxs, start = {}, [], [], d + 1
+    if idxs:
+        hashes = (
+            _md5_lower64_batch(uniq) if scheme == "md5" else fnv1a_64_batch(uniq)
+        )
+        yield hashes, idxs, start
+
+
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     """uint64[NUM_PERM] min over universal-hash permutations."""
     if len(shingles) == 0:
@@ -88,39 +148,61 @@ def minhash_batch(
     scheme: str = "fnv",
 ) -> pa.Table:
     texts = batch.column(text_column).to_pylist()
-    sigs = [minhash_signature(char_shingles(t, scheme=scheme)) for t in texts]
-    return pa.table(
-        {
-            id_column: batch.column(id_column),
-            "minhash": pa.array(
-                [s.tolist() for s in sigs], pa.list_(pa.uint64(), NUM_PERM)
-            ),
-        }
+    n = len(texts)
+    sigs = np.full((n, NUM_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for hashes, idxs, start in _shingle_chunks(texts, SHINGLE_K, scheme):
+        # one permutation-value table per chunk's UNIQUE shingles, then a
+        # C-speed gather + min per doc (vs. a full modmul per doc before)
+        with np.errstate(over="ignore"):
+            vals = (_A[:, None] * hashes[None, :] + _B[:, None]) % np.uint64(
+                _MERSENNE
+            )
+        for d, idx in enumerate(idxs):
+            if len(idx):
+                sigs[start + d] = vals[:, idx].min(axis=1)
+    sig_arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(sigs.reshape(-1), pa.uint64()), NUM_PERM
     )
+    return pa.table({id_column: batch.column(id_column), "minhash": sig_arr})
 
 
 def explode_bands(batch: pa.Table, id_column: str = "doc_id") -> pa.Table:
-    """(doc_id, band, bucket) rows: bucket = hash of the band's signature
-    slice. groupby(["band","bucket"]) then yields LSH candidates."""
-    ids = batch.column(id_column).to_pylist()
-    sigs = batch.column("minhash").to_pylist()
-    out_id, out_band, out_bucket = [], [], []
-    for i, sig in zip(ids, sigs):
-        arr = np.asarray(sig, dtype=np.uint64)
-        for b in range(NUM_BANDS):
-            sl = arr[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            h = 0xCBF29CE484222325
-            for v in sl.tolist():
-                h ^= v
-                h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            out_id.append(i)
-            out_band.append(b)
-            out_bucket.append(np.uint64(h))
+    """(doc_id, band, bucket) rows: bucket = FNV of the band's signature
+    slice, folded with uint64 vector ops over the whole batch at once.
+    groupby(["band","bucket"]) then yields LSH candidates."""
+    ids = batch.column(id_column)
+    sig_col = batch.column("minhash")
+    n = len(sig_col)
+    if n == 0:
+        return pa.table(
+            {
+                id_column: ids,
+                "band": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.uint64()),
+            }
+        )
+    flat = (
+        sig_col.combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.uint64, copy=False)
+        .reshape(n, NUM_BANDS, ROWS_PER_BAND)
+    )
+    with np.errstate(over="ignore"):
+        h = np.full((n, NUM_BANDS), 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for j in range(ROWS_PER_BAND):
+            h ^= flat[:, :, j]
+            h *= prime
+    id_np = np.repeat(
+        np.asarray(ids.to_numpy(zero_copy_only=False)), NUM_BANDS
+    )
+    band_np = np.tile(np.arange(NUM_BANDS, dtype=np.int32), n)
     return pa.table(
         {
-            id_column: pa.array(out_id),
-            "band": pa.array(out_band, pa.int32()),
-            "bucket": pa.array(out_bucket, pa.uint64()),
+            id_column: pa.array(id_np),
+            "band": pa.array(band_np, pa.int32()),
+            "bucket": pa.array(h.reshape(-1), pa.uint64()),
         }
     )
 
@@ -146,35 +228,53 @@ def _pairs_in_partition(df, id_column: str = "doc_id"):
             f"{id_column} >= 2^32 cannot be packed into a 64-bit pair key; "
             "switch pair_key to fnv1a_64(f'{a}:{b}')"
         )
-    keys: list[int] = []
-    capped_buckets = 0
-    dropped_ids = 0
-    for _, g in df.groupby(["band", "bucket"], sort=False):
-        all_ids = sorted(set(g[id_column].tolist()))
-        ids = all_ids[:MAX_BUCKET]
-        if len(all_ids) > MAX_BUCKET:
-            capped_buckets += 1
-            dropped_ids += len(all_ids) - MAX_BUCKET
-        n = len(ids)
-        for i in range(n):
-            a = ids[i] << 32
-            for j in range(i + 1, n):
-                keys.append(a | ids[j])
-    if capped_buckets:
+    # vectorized pairing: sort (band, bucket, id), dedupe, cap each bucket
+    # at MAX_BUCKET via cumcount, then emit all triangular pairs segment
+    # by segment using precomputed (i, j) index templates per bucket size
+    u = df[["band", "bucket", id_column]].drop_duplicates()
+    u = u.sort_values(["band", "bucket", id_column], kind="stable")
+    pos = u.groupby(["band", "bucket"], sort=False).cumcount().to_numpy()
+    over = pos >= MAX_BUCKET
+    if over.any():
+        capped = u[over].groupby(["band", "bucket"], sort=False).size()
         logging.getLogger(__name__).warning(
             "minhash-lsh: capped %d hot bucket(s) at %d members "
             "(%d doc ids dropped from pairing in this partition)",
-            capped_buckets, MAX_BUCKET, dropped_ids,
+            len(capped), MAX_BUCKET, int(capped.sum()),
         )
-    if not keys:
+        u, pos = u[~over], pos[~over]
+    ids = u[id_column].to_numpy().astype(np.uint64)
+    # segment boundaries: positions where cumcount resets to 0
+    starts = np.flatnonzero(pos == 0)
+    sizes = np.diff(np.append(starts, len(ids)))
+    key_parts = []
+    for s0, m in zip(starts, sizes):
+        if m < 2:
+            continue
+        ii, jj = _tri_template(int(m))
+        key_parts.append((ids[s0 + ii] << np.uint64(32)) | ids[s0 + jj])
+    if not key_parts:
         return pd.DataFrame(
             {"pair_key": pd.Series(dtype="uint64"),
              "n": pd.Series(dtype="int64")}
         )
-    s = pd.Series(keys, dtype="uint64").value_counts()
+    s = pd.Series(np.concatenate(key_parts), dtype="uint64").value_counts()
     return pd.DataFrame(
         {"pair_key": s.index.to_numpy(), "n": s.to_numpy().astype("int64")}
     )
+
+
+_TRI_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _tri_template(m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Upper-triangle (i, j) index pairs for a segment of size m (i < j),
+    cached — m is capped at MAX_BUCKET so the cache is tiny."""
+    t = _TRI_CACHE.get(m)
+    if t is None:
+        ii, jj = np.triu_indices(m, k=1)
+        t = _TRI_CACHE[m] = (ii, jj)
+    return t
 
 
 def jaccard(text_a: str, text_b: str, k: int = SHINGLE_K) -> float:
@@ -203,17 +303,34 @@ def simhash64(text: str, k: int = SHINGLE_K, scheme: str = "fnv") -> int:
     return int(out)
 
 
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+
 def simhash_batch(
     batch: pa.Table, text_column: str = "text", id_column: str = "doc_id",
     scheme: str = "fnv",
 ) -> pa.Table:
+    """Batch SimHash: shingles deduped + hashed once per chunk, bit votes
+    accumulated with one int16 matmul-free gather per doc (bit-identical
+    to simhash64)."""
     texts = batch.column(text_column).to_pylist()
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    for hashes, idxs, start in _shingle_chunks(texts, SHINGLE_K, scheme):
+        # bits[u, j] = bit j of unique-shingle hash u  (U x 64 int16)
+        bits = (
+            (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int16)
+        for d, idx in enumerate(idxs):
+            if len(idx) == 0:
+                continue
+            votes = 2 * bits[idx].sum(axis=0, dtype=np.int64) - len(idx)
+            out[start + d] = _POW2[votes > 0].sum()
     return pa.table(
         {
             id_column: batch.column(id_column),
-            "simhash": pa.array(
-                [simhash64(t, scheme=scheme) for t in texts], pa.uint64()
-            ),
+            "simhash": pa.array(out, pa.uint64()),
         }
     )
 
