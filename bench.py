@@ -39,6 +39,8 @@ BENCH_QUERIES = (
     "simhash",
     "token_counts",
     "knn_cosine",
+    "order_lineitem_band_join",
+    "asof_event_order",
 )
 
 
@@ -141,7 +143,12 @@ def run_scaling() -> dict:
             RAY_GRAFT_HEADLINE_ONLY="1",
             # larger corpus for the scaling runs so per-run fixed costs
             # (session + pool startup) don't masquerade as poor scaling
-            GRAFT_CC_ROWS=os.environ.get("GRAFT_SCALING_ROWS", "800000"),
+            # 1.6M rows: at 800k the 32-CPU leg's fixed costs (session +
+            # actor-pool startup, ~5s) were ~17% of its wall vs ~5% on the
+            # 8-CPU leg, biasing efficiency DOWN; doubling the corpus
+            # halves that bias and is closer to the steady-state regime
+            # the N->4N criterion models
+            GRAFT_CC_ROWS=os.environ.get("GRAFT_SCALING_ROWS", "1600000"),
         )
         out = subprocess.run(
             [sys.executable, __file__],

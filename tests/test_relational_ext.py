@@ -22,6 +22,7 @@ from tools.check_oracles import TABLES, canonical_hash, to_pandas  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 EXT_KEYS = (
+    "stratified_sample",
     "order_lineitem_band_join",
     "asof_event_order",
     "semi_join_big_spenders",

@@ -182,6 +182,10 @@ def build_resolved_cache(models_dir: Path, languages=ALL_ISO1) -> Path:
 
     _save_npy(out_dir / "hash.npy", hashes[order])
     _save_npy(out_dir / "matrix.npy", matrix[order])
+    # float32 twin of the resolved table: the scorer's gather+reduceat hot
+    # loop is memory-bandwidth bound, so halving bytes/row lifts aggregate
+    # throughput at high concurrency (parity-checked in tests)
+    _save_npy(out_dir / "matrix32.npy", matrix[order].astype(np.float32))
     _save_npy(out_dir / "ngrams.npy", np.array(ngrams)[order])
     _save_npy(out_dir / "uni_hash.npy", uni_hashes[uni_order])
     _save_npy(out_dir / "uni_matrix.npy", uni_matrix[uni_order])
@@ -207,6 +211,17 @@ def load_resolved_cache(models_dir: Path) -> dict | None:
     d = Path(models_dir) / RESOLVED_CACHE_DIR
     if not (d / "languages.npy").exists() or not (d / "hash.npy").exists():
         return None
+    if not (d / "matrix32.npy").exists():
+        # derive the float32 twin from a pre-existing v3 cache once
+        try:
+            _save_npy(
+                d / "matrix32.npy",
+                np.load(d / "matrix.npy", allow_pickle=False).astype(
+                    np.float32
+                ),
+            )
+        except (OSError, ValueError):
+            pass
     try:
         return {
             "languages": [
@@ -217,6 +232,11 @@ def load_resolved_cache(models_dir: Path) -> dict | None:
             "hash": np.load(d / "hash.npy", allow_pickle=False, mmap_mode="r"),
             "matrix": np.load(
                 d / "matrix.npy", allow_pickle=False, mmap_mode="r"
+            ),
+            "matrix32": (
+                np.load(d / "matrix32.npy", allow_pickle=False, mmap_mode="r")
+                if (d / "matrix32.npy").exists()
+                else None
             ),
             "uni_hash": np.load(
                 d / "uni_hash.npy", allow_pickle=False, mmap_mode="r"

@@ -235,10 +235,16 @@ def quality_filter_dataset(
                     load_resolved_cache,
                 )
 
+                cache = load_resolved_cache(mdir)
+                if cache is not None and cache.get("matrix32") is not None:
+                    # the scorer's default float32 path only reads the
+                    # float32 twin — don't double the plasma footprint by
+                    # shipping the float64 matrix alongside it
+                    cache = dict(cache, matrix=cache["matrix32"])
                 models_ref = ray.put(
                     {
                         "packed": load_packed_models(mdir, cfg.languages),
-                        "cache": load_resolved_cache(mdir),
+                        "cache": cache,
                     }
                 )
         except ImportError:

@@ -419,7 +419,54 @@ def q_percentiles_chars(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic stratified sample
+# ---------------------------------------------------------------------------
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the 5 docs per language with the
+    smallest md5(doc_id) — rank-by-hash gives an unbiased, reproducible,
+    engine-independent sample with no RNG state to ship.  Same partial
+    top-k shape as q_group_topk_docs: per-block smallest-5 per group,
+    tiny merge, never a full-cardinality shuffle."""
+    K = 5
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        rank = np.fromiter(
+            (_md5_lower64(str(i)) for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        df = pd.DataFrame(
+            {
+                "lang": b.column("lang").to_pandas(),
+                "doc_id": ids.astype(np.int64),
+                "rank_key": rank,
+            }
+        )
+        top = (
+            df.sort_values(["lang", "rank_key", "doc_id"])
+            .groupby("lang", as_index=False)
+            .head(K)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    parts = (
+        _read(sf_dir, "documents", columns=["lang", "doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = (
+        parts.sort_values(["lang", "rank_key", "doc_id"])
+        .groupby("lang", as_index=False)
+        .head(K)
+        .reset_index(drop=True)
+    )
+    top["rk"] = top.groupby("lang").cumcount() + 1
+    return top[["lang", "doc_id", "rk"]]
+
+
 QUERIES_EXT = {
+    "stratified_sample": q_stratified_sample,
     "order_lineitem_band_join": q_order_lineitem_band_join,
     "asof_event_order": q_asof_event_order,
     "semi_join_big_spenders": q_semi_join_big_spenders,
@@ -431,6 +478,15 @@ QUERIES_EXT = {
 
 
 ORACLE_EXT = {
+    "stratified_sample": """
+        SELECT lang, doc_id, rk FROM (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rk
+          FROM documents) WHERE rk <= 5
+    """,
     "order_lineitem_band_join": """
         SELECT o_orderkey,
                COUNT(*) AS n_items,

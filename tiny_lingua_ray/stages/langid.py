@@ -104,12 +104,14 @@ class _ValueCache:
             self.base_hashes = base_hashes  # sorted uint64, possibly mmap
             self.base_matrix = base_matrix
             self.base_n = len(base_hashes)
+            self.dtype = base_matrix.dtype
         else:
             self.base_hashes = None
-            self.base_matrix = np.empty((0, num_langs), dtype=np.float64)
+            self.dtype = np.dtype(np.float64)
+            self.base_matrix = np.empty((0, num_langs), dtype=self.dtype)
             self.base_n = 0
         self.index: dict[str, int] = {}
-        self.matrix = np.empty((4096, num_langs), dtype=np.float64)
+        self.matrix = np.empty((4096, num_langs), dtype=self.dtype)
 
     def rows_for(self, ngrams: list[str]) -> tuple[np.ndarray, list[str]]:
         """Indices for known ngrams (-1 for unknown) + the unknown list."""
@@ -136,7 +138,7 @@ class _ValueCache:
         needed = n0 + len(ngrams)
         if needed > len(self.matrix):
             grow = max(needed, 2 * len(self.matrix))
-            nm = np.empty((grow, self.matrix.shape[1]), dtype=np.float64)
+            nm = np.empty((grow, self.matrix.shape[1]), dtype=self.dtype)
             nm[:n0] = self.matrix[:n0]
             self.matrix = nm
         self.matrix[n0:needed] = values
@@ -153,7 +155,7 @@ class _ValueCache:
         bound, so not materializing the non-candidate columns directly
         cuts the dominant traffic (e.g. 75 -> ~41 cols for Latin rows)."""
         ncols = self.matrix.shape[1] if col_idx is None else len(col_idx)
-        out = np.empty((len(ids), ncols), dtype=np.float64)
+        out = np.empty((len(ids), ncols), dtype=self.dtype)
         mb = ids < self.base_n
         if mb.any():
             out[mb] = (
@@ -193,7 +195,16 @@ class LangIdScorer:
         compute_perplexity: bool = False,
         emit_confidences: bool = False,
         emit_iso3: bool = False,
+        value_dtype: str = "float32",
     ):
+        # value_dtype: precision of the resolved-value gather/reduce hot
+        # loop.  float32 (default) halves the dominant memory traffic —
+        # per-language partial sums still accumulate in float64, and the
+        # parity suite pins 0 prediction mismatches vs the pure float64
+        # detector.  Pass "float64" for bit-level value parity.
+        self.value_dtype = (
+            np.float32 if str(value_dtype) == "float32" else np.float64
+        )
         # emit_confidences: opt-in full sorted confidence map per row
         # (list<struct<lang,conf>>), matching the reference's flagship
         # SortedMap<Language, Double> return (LanguageDetector.kt:191-215,
@@ -273,7 +284,12 @@ class LangIdScorer:
         ):
             # NOTE: matrix may be an mmap — do NOT copy it (page-cache
             # sharing across every worker process on the node)
-            base_matrix = resolved_cache["matrix"]
+            base_matrix = (
+                resolved_cache["matrix32"]
+                if self.value_dtype == np.float32
+                and resolved_cache.get("matrix32") is not None
+                else resolved_cache["matrix"]
+            )
             # prefault the (possibly mmap'd) table sequentially once —
             # random first-touch during scoring is far slower
             float(np.asarray(base_matrix[:: max(1, len(base_matrix) // 65536)]).sum())
@@ -614,16 +630,18 @@ class LangIdScorer:
                 continue
             nkeep = len(keep)
             ncols = len(col_idx)
-            row_ids = np.repeat(np.arange(nkeep), lens[keep])
+            # concat_ids were appended row by row, so kept-row segments
+            # tile `concat` contiguously: add.reduceat over the segment
+            # starts sums each row WITHOUT the float64 weight conversion
+            # np.bincount forces (keeps the float32 hot path narrow)
+            starts = np.asarray(offsets[:-1], dtype=np.int64)[keep]
             # batch-vocab values (candidate columns only), then COLUMN-wise
-            # expand+bincount: avoids materializing a [C, L] matrix (large
+            # expand+reduceat: avoids materializing a [C, L] matrix (large
             # fresh allocations are pathologically slow on this host)
             P = np.asfortranarray(self._values_for(order, n, col_idx))
-            S = np.empty((nkeep, ncols), dtype=np.float64)
+            S = np.empty((nkeep, ncols), dtype=P.dtype)
             for ci in range(ncols):
-                S[:, ci] = np.bincount(
-                    row_ids, weights=P[:, ci][concat], minlength=nkeep
-                )
+                S[:, ci] = np.add.reduceat(P[:, ci][concat], starts)
 
             # CJK factor per (lang, n) partial sum (LanguageDetector.kt:565-574)
             neg = S < 0
@@ -635,13 +653,11 @@ class LangIdScorer:
 
             if n == 1:
                 Hm = np.asfortranarray(
-                    self._unigram_hits(order)[:, col_idx]
+                    self._unigram_hits(order)[:, col_idx].astype(np.int32)
                 )
                 C = np.empty((nkeep, ncols), dtype=np.int64)
                 for ci in range(ncols):
-                    C[:, ci] = np.bincount(
-                        row_ids, weights=Hm[:, ci][concat], minlength=nkeep
-                    )
+                    C[:, ci] = np.add.reduceat(Hm[:, ci][concat], starts)
                 uni_counts[np.ix_(krows, col_idx)] = C
                 s1_nonzero[np.ix_(krows, col_idx)] = neg
 
