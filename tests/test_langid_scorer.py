@@ -137,7 +137,9 @@ def test_emit_confidences_matches_pure_detector(small_models_dir):
     """Opt-in full confidence map (LanguageDetector.kt:191-215 /
     EnumDoubleMap.kt:91-121): same language ORDER as the pure detector,
     values equal to float tolerance (summation order differs between the
-    vectorized bincount path and the pure loop)."""
+    vectorized reduce path and the pure loop).  value_dtype="float64"
+    pins bit-level value parity; the float32 default only guarantees
+    prediction/order parity (test_value_dtype_paths_agree)."""
     import numpy as np
 
     langs = ("en", "de", "es", "fr", "zh")
@@ -147,6 +149,7 @@ def test_emit_confidences_matches_pure_detector(small_models_dir):
         languages=langs,
         build_if_missing=False,
         emit_confidences=True,
+        value_dtype="float64",
     )
     texts = _corpus_sample(20) + ADVERSARIAL
     out = scorer(pa.table({"text": texts}))
@@ -200,3 +203,27 @@ def test_iso3_codes_match_reference_enum():
     assert len(BY_ISO3) == 75
     assert ISO3_BY_ISO1["unknown"] == "none"
     assert ISO3_BY_ISO1["de"] == "deu" and ISO3_BY_ISO1["zh"] == "zho"
+
+
+def test_value_dtype_paths_agree(models_dir):
+    """float32 (default) and float64 value caches predict identically on
+    the corpus sample — the f32 hot path accumulates partials in f64, so
+    precision loss must never flip a prediction here.  Uses the full
+    75-language models: the precomputed resolved base (whose dtype the
+    knob selects) only attaches when the language set matches it."""
+    import pyarrow as pa
+
+    texts = _corpus_sample(20) + ADVERSARIAL
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)}
+    )
+    outs = {}
+    for dt in ("float32", "float64"):
+        s = LangIdScorer(
+            models_dir=str(models_dir),
+            build_if_missing=False,
+            value_dtype=dt,
+        )
+        assert str(s.value_cache.dtype) == dt
+        outs[dt] = s(batch).column("pred_lang").to_pylist()
+    assert outs["float32"] == outs["float64"]

@@ -99,7 +99,12 @@ class _ValueCache:
         num_langs: int,
         base_hashes: np.ndarray | None = None,
         base_matrix: np.ndarray | None = None,
+        base_col_map: np.ndarray | None = None,
     ):
+        # base_col_map: when the scorer's language subset differs from the
+        # base table's full language list, maps scorer column i -> base
+        # column base_col_map[i] (per-language values are independent, so
+        # a column slice of the full base is exactly the subset's table)
         if base_matrix is not None and base_hashes is not None:
             self.base_hashes = base_hashes  # sorted uint64, possibly mmap
             self.base_matrix = base_matrix
@@ -110,6 +115,7 @@ class _ValueCache:
             self.dtype = np.dtype(np.float64)
             self.base_matrix = np.empty((0, num_langs), dtype=self.dtype)
             self.base_n = 0
+        self.base_col_map = base_col_map
         self.index: dict[str, int] = {}
         self.matrix = np.empty((4096, num_langs), dtype=self.dtype)
 
@@ -158,10 +164,18 @@ class _ValueCache:
         out = np.empty((len(ids), ncols), dtype=self.dtype)
         mb = ids < self.base_n
         if mb.any():
+            if self.base_col_map is None:
+                bcols = col_idx
+            else:
+                bcols = (
+                    self.base_col_map
+                    if col_idx is None
+                    else self.base_col_map[col_idx]
+                )
             out[mb] = (
                 self.base_matrix[ids[mb]]
-                if col_idx is None
-                else self.base_matrix[np.ix_(ids[mb], col_idx)]
+                if bcols is None
+                else self.base_matrix[np.ix_(ids[mb], bcols)]
             )
         ml = ~mb
         if ml.any():
@@ -275,13 +289,28 @@ class LangIdScorer:
         self.special_table = rule_special_table()
         self.latin_id = SCRIPT_ID["LATIN"]
 
-        # Warm caches from the precomputed resolved table when its language
-        # set matches (base tier is read-only, possibly object-store-shared)
+        # Warm caches from the precomputed resolved table when it covers
+        # this scorer's languages (base tier is read-only, possibly
+        # object-store-shared).  A SUBSET of the base languages attaches
+        # via a column map — per-language values are independent, so a
+        # column slice of the full base is exactly the subset's table;
+        # without this, every subset-configured actor re-resolved from
+        # scratch (cold-init cost the full-set path had already removed).
+        cache_langs = (
+            list(resolved_cache["languages"]) if resolved_cache else []
+        )
         if (
             resolved_cache is not None
-            and list(resolved_cache["languages"]) == list(self.languages)
             and "hash" in resolved_cache
+            and set(self.languages) <= set(cache_langs)
         ):
+            if cache_langs == list(self.languages):
+                col_map = None
+            else:
+                pos_of = {l: i for i, l in enumerate(cache_langs)}
+                col_map = np.array(
+                    [pos_of[l] for l in self.languages], dtype=np.int64
+                )
             # NOTE: matrix may be an mmap — do NOT copy it (page-cache
             # sharing across every worker process on the node)
             base_matrix = (
@@ -297,11 +326,19 @@ class LangIdScorer:
                 self.L,
                 base_hashes=resolved_cache["hash"],
                 base_matrix=base_matrix,
+                base_col_map=col_map,
             )
             # unigram union table: searchsorted index; a miss means the
             # unigram is absent from EVERY model (all-False), no probing
             self.uni_hashes = resolved_cache["uni_hash"]
-            self.uni_base = resolved_cache["uni_matrix"]
+            self.uni_base = (
+                resolved_cache["uni_matrix"]
+                if col_map is None
+                # tiny (unigrams x langs) — materialize the column slice
+                else np.ascontiguousarray(
+                    np.asarray(resolved_cache["uni_matrix"])[:, col_map]
+                )
+            )
             self.uni_hit_cache: dict[str, np.ndarray] = {}
         else:
             self.value_cache = _ValueCache(self.L)
