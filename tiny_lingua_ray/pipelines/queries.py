@@ -40,9 +40,16 @@ def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
 
 
 
-def _pool(frac: float = 0.75, reserve: int = 2, floor: int = 2) -> int:
-    """Actor-pool size from cluster CPUs (never hard-code concurrency=2:
-    that starves a 32-CPU box; see pipelines/quality_filter._cap_pool)."""
+def _pool(frac: float = 0.75, reserve: int = 2, floor: int = 2) -> tuple[int, int]:
+    """AUTOSCALING actor-pool bounds (min, max) from cluster CPUs.
+
+    Max sized from CPUs (never hard-code concurrency=2: that starves a
+    32-CPU box; see pipelines/quality_filter._cap_pool).  Min stays at
+    ``floor``: a FIXED pool (plain int) must fully start before the
+    dataset makes progress, and when a previous query's pool is still
+    tearing down — or two pools are chained — the fixed minimum can
+    exceed free CPUs and deadlock the whole run (observed: q_perplexity
+    after q_langid at 32 CPUs, both pools idle forever)."""
     cpus = 8
     try:
         import ray
@@ -51,7 +58,8 @@ def _pool(frac: float = 0.75, reserve: int = 2, floor: int = 2) -> int:
             cpus = int(ray.cluster_resources().get("CPU", 8))
     except ImportError:
         pass
-    return max(floor, min(int(cpus * frac), max(1, cpus - reserve)))
+    top = max(floor, min(int(cpus * frac), max(1, cpus - reserve)))
+    return (min(floor, top), top)
 
 
 _MODELS_READY = False
