@@ -80,3 +80,37 @@ def test_hash_split_deterministic(ray_session):
     total = a["n_docs"].sum()
     train = int(a.loc[a["split"] == "train", "n_docs"].iloc[0])
     assert 0.6 < train / total < 0.95
+
+
+def test_corpus_prep_matches_composite_oracle(ray_session, ddb):
+    """The end-to-end corpus-prep pipeline (one-pass stats -> content-hash
+    dedup -> quality gate) hash-matches the SQL composition of its stage
+    oracles."""
+    from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES
+
+    got = to_pandas(QUERIES["corpus_prep"](SF_DIR))
+    want = ddb.sql(ORACLE["corpus_prep"]).df()
+    assert len(got) == len(want)
+    assert canonical_hash(got) == canonical_hash(want)
+
+
+def test_task_failure_recovery(ray_session, tmp_path):
+    """A worker that dies mid-task (simulated os._exit) is retried by Ray
+    and the pipeline still completes with every row accounted for — the
+    fault-tolerance story the resumable sink builds on."""
+    import ray.data as rd
+
+    flag = str(tmp_path / "died_once")
+
+    def maybe_die(batch):
+        import os
+
+        if not os.path.exists(flag):
+            open(flag, "w").close()
+            os._exit(1)  # hard worker crash, not a UDF exception
+        return batch
+
+    ds = rd.range(1000, override_num_blocks=8).map_batches(
+        maybe_die, batch_format="pyarrow"
+    )
+    assert ds.count() == 1000

@@ -491,6 +491,57 @@ def q_quality_flags(sf_dir: str):
     )
 
 
+def q_corpus_prep(sf_dir: str):
+    """END-TO-END training-data prep in one streamed pipeline, fully
+    SQL-verified: per-doc quality flags + token counts computed in ONE
+    map pass, exact dedup by 64-bit content hash (keep min doc_id), then
+    only Gopher/C4-clean survivors (quality_flags == 0) emitted.
+
+    Scale shape: the stats ride the dedup shuffle — (shard, hash, id,
+    tokens, flags) is ~36 B/row and the text never moves; no re-join of
+    survivors back to the corpus.  Same 64-bit-hash-equals-text
+    assumption as exact_dedup (J3)."""
+    from tiny_lingua_ray.models.train import fnv1a_64_batch
+    from tiny_lingua_ray.stages.quality import quality_batch
+    from tiny_lingua_ray.stages.textstats import token_count_batch
+
+    P = 32
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        t = token_count_batch(batch)
+        h = fnv1a_64_batch(
+            [x or "" for x in batch.column("text").to_pylist()]
+        )
+        return pa.table(
+            {
+                "shard": pa.array((h % np.uint64(P)).astype(np.int64)),
+                "content_hash": pa.array(h.astype(np.int64)),
+                "doc_id": batch.column("doc_id"),
+                "n_tokens_ws": t.column("n_tokens_ws"),
+                "quality_flags": q.column("quality_flags"),
+            }
+        )
+
+    def dedup_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["content_hash", "doc_id"])
+        g = df.groupby("content_hash", as_index=False).agg(
+            doc_id=("doc_id", "min"),
+            dup_count=("doc_id", "size"),
+            n_tokens_ws=("n_tokens_ws", "first"),
+            quality_flags=("quality_flags", "first"),
+        )
+        g = g[g["quality_flags"] == 0]
+        return g[["doc_id", "dup_count", "n_tokens_ws"]]
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(dedup_shard, batch_format="pandas")
+    )
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash-LSH candidate pairs with md5-derived shingle hashes
     (bit-identical to DuckDB md5_number_lower) so the full sketch —
@@ -845,6 +896,7 @@ QUERIES = {
     "langid": q_langid,
     "perplexity": q_perplexity,
     "quality_flags": q_quality_flags,
+    "corpus_prep": q_corpus_prep,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
@@ -1132,6 +1184,30 @@ def _quality_flags_oracle() -> str:
 
 
 ORACLE["quality_flags"] = _quality_flags_oracle()
+
+
+def _corpus_prep_oracle() -> str:
+    """Composite pipeline oracle: dedup-by-text + the quality_flags CTE
+    + the token_counts expression, composed from the same SQL the
+    individual stage oracles use (so the composite can never drift from
+    its parts)."""
+    return rf"""
+        WITH qf AS ({_quality_flags_oracle()}),
+        kept AS (
+          SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+          FROM documents GROUP BY text)
+        SELECT k.doc_id, k.dup_count,
+               CASE WHEN trim(d.text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(d.text), '\s+'))
+               END AS n_tokens_ws
+        FROM kept k
+        JOIN documents d ON d.doc_id = k.doc_id
+        JOIN qf ON qf.doc_id = k.doc_id
+        WHERE qf.quality_flags = 0
+    """
+
+
+ORACLE["corpus_prep"] = _corpus_prep_oracle()
 
 
 # shared shingle CTE (distinct lowercased char-5-grams; whole text when
