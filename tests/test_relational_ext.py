@@ -23,6 +23,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 EXT_KEYS = (
     "stratified_sample",
+    "json_extract_stats",
+    "pivot_event_counts",
+    "group_percentiles",
     "order_lineitem_band_join",
     "asof_event_order",
     "semi_join_big_spenders",

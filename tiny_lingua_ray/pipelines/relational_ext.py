@@ -465,8 +465,130 @@ def q_stratified_sample(sf_dir: str):
     return top[["lang", "doc_id", "rk"]]
 
 
+# ---------------------------------------------------------------------------
+# Semi-structured (JSON) extraction
+# ---------------------------------------------------------------------------
+
+def q_json_extract_stats(sf_dir: str):
+    """Extract a field from a JSON string column (semi-structured data
+    path) and aggregate it: stdlib json.loads per row inside map_batches
+    partials (the parse runs where the data lives; only (type, sum, n)
+    partials shuffle), then a tiny groupby merge."""
+    import json
+
+    def partial(b: pa.Table) -> pa.Table:
+        props = b.column("props").to_pylist()
+        loads = json.loads
+        k = np.fromiter(
+            (loads(p).get("k", 0) if p else 0 for p in props),
+            dtype=np.int64,
+            count=len(props),
+        )
+        df = pd.DataFrame(
+            {"event_type": b.column("event_type").to_pandas(), "k": k}
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            sum_k=("k", "sum"), n=("k", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "events", columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long -> wide)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_event_counts(sf_dir: str):
+    """Long->wide pivot: one row per user with a count column per event
+    type.  Block-local crosstab partials -> groupby-sum over the five
+    fixed columns; the shuffle carries one row per (user x block), never
+    the raw events."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"user_id": b.column("user_id"), "event_type": b.column("event_type")}
+        ).to_pandas()
+        g = df.groupby("user_id", as_index=False)
+        out = g.size().rename(columns={"size": "_n"})[["user_id"]]
+        for t in _EVENT_TYPES:
+            c = (
+                df[df["event_type"] == t]
+                .groupby("user_id")
+                .size()
+                .rename(f"n_{t}")
+            )
+            out = out.join(c, on="user_id")
+        out = out.fillna(0)
+        for t in _EVENT_TYPES:
+            out[f"n_{t}"] = out[f"n_{t}"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES]
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact percentiles
+# ---------------------------------------------------------------------------
+
+def q_group_percentiles(sf_dir: str):
+    """p50/p90 of document length PER LANGUAGE — grouped variant of
+    q_percentiles_chars: (lang, value)-count partials -> one tiny
+    groupby -> per-group CDF inversion (quantile index = DuckDB
+    quantile_disc: sorted[ceil(q*n) - 1])."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"lang": b.column("lang"), "n_chars": b.column("n_chars")}
+        ).to_pandas()
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        _read(sf_dir, "documents", columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["lang", "n_chars"])
+    )
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        vals = g["n_chars"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        pick = lambda q: int(vals[np.searchsorted(cum, int(np.ceil(q * n)))])
+        rows.append((lang, pick(0.5), pick(0.9)))
+    return pd.DataFrame(rows, columns=["lang", "p50", "p90"])
+
+
 QUERIES_EXT = {
     "stratified_sample": q_stratified_sample,
+    "json_extract_stats": q_json_extract_stats,
+    "pivot_event_counts": q_pivot_event_counts,
+    "group_percentiles": q_group_percentiles,
     "order_lineitem_band_join": q_order_lineitem_band_join,
     "asof_event_order": q_asof_event_order,
     "semi_join_big_spenders": q_semi_join_big_spenders,
@@ -477,7 +599,31 @@ QUERIES_EXT = {
 }
 
 
+_PIVOT_COLS = ",\n               ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_{t}"
+    for t in _EVENT_TYPES
+)
+
 ORACLE_EXT = {
+    "json_extract_stats": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "pivot_event_counts": f"""
+        SELECT user_id,
+               {_PIVOT_COLS}
+        FROM events GROUP BY user_id
+    """,
+    "group_percentiles": """
+        SELECT lang,
+               quantile_disc(n_chars, 0.50) AS p50,
+               quantile_disc(n_chars, 0.90) AS p90
+        FROM documents GROUP BY lang
+    """,
     "stratified_sample": """
         SELECT lang, doc_id, rk FROM (
           SELECT lang, doc_id,
