@@ -23,6 +23,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 EXT_KEYS = (
     "stratified_sample",
+    "range_join_size_buckets",
+    "substring_filter",
     "json_extract_stats",
     "pivot_event_counts",
     "group_percentiles",

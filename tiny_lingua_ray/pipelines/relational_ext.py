@@ -584,7 +584,86 @@ def q_group_percentiles(sf_dir: str):
     return pd.DataFrame(rows, columns=["lang", "p50", "p90"])
 
 
+# ---------------------------------------------------------------------------
+# Broadcast range join (small side = interval table)
+# ---------------------------------------------------------------------------
+
+_SIZE_BUCKETS = (0, 100, 200, 300, 400)  # [lo, next) ; last is open-ended
+
+
+def q_range_join_size_buckets(sf_dir: str):
+    """Range join against a SMALL interval table (size buckets): the
+    classic broadcast-range-join shape — the interval bounds live in
+    every task (they're module constants; for a dynamic small side,
+    ``ray.put`` them) and each batch resolves its bucket with ONE
+    vectorized np.searchsorted instead of a non-equi join shuffle."""
+
+    bounds = np.asarray(_SIZE_BUCKETS[1:], dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("n_chars").to_numpy(zero_copy_only=False)
+        bucket_lo = np.asarray(_SIZE_BUCKETS, dtype=np.int64)[
+            np.searchsorted(bounds, v, side="right")
+        ]
+        df = pd.DataFrame({"bucket_lo": bucket_lo, "n_chars": v})
+        g = df.groupby("bucket_lo", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "documents", columns=["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket_lo")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized substring filter (Arrow compute kernel)
+# ---------------------------------------------------------------------------
+
+def q_substring_filter(sf_dir: str):
+    """Docs containing a substring, counted per language — pure
+    pyarrow.compute kernels (match_substring + filter) on zero-copy
+    batches; only (lang, n) partials leave the tasks."""
+
+    empty = pa.table(
+        {"lang": pa.array([], pa.string()), "n_docs": pa.array([], pa.int64())}
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        hit = pc.match_substring(b.column("text"), "data")
+        kept = b.filter(hit)
+        if kept.num_rows == 0:
+            return empty  # typed: an object-dtype empty block breaks union
+        df = (
+            pa.table({"lang": kept.column("lang")})
+            .to_pandas()
+            .groupby("lang", as_index=False)
+            .size()
+            .rename(columns={"size": "n_docs"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
 QUERIES_EXT = {
+    "range_join_size_buckets": q_range_join_size_buckets,
+    "substring_filter": q_substring_filter,
     "stratified_sample": q_stratified_sample,
     "json_extract_stats": q_json_extract_stats,
     "pivot_event_counts": q_pivot_event_counts,
@@ -605,7 +684,27 @@ _PIVOT_COLS = ",\n               ".join(
     for t in _EVENT_TYPES
 )
 
+_BUCKET_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN n_chars >= {lo} AND n_chars < {hi} THEN {lo}"
+        for lo, hi in zip(_SIZE_BUCKETS[:-1], _SIZE_BUCKETS[1:])
+    )
+    + f" ELSE {_SIZE_BUCKETS[-1]} END"
+)
+
 ORACLE_EXT = {
+    "range_join_size_buckets": f"""
+        SELECT {_BUCKET_CASE} AS bucket_lo,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1
+    """,
+    "substring_filter": """
+        SELECT lang, COUNT(*) AS n_docs
+        FROM documents WHERE contains(text, 'data')
+        GROUP BY lang
+    """,
     "json_extract_stats": """
         SELECT event_type,
                CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
