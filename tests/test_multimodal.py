@@ -77,3 +77,55 @@ def test_audio_features_stage():
 
 def test_media_table_deterministic():
     assert make_media_table(6).equals(make_media_table(6))
+
+
+def test_video_roundtrip_and_features(ray_session):
+    """RAW video container round-trips exactly; the frame-sampling stage
+    emits deterministic per-clip features."""
+    import numpy as np
+    import ray.data as rd
+
+    from tiny_lingua_ray.sources.media import make_video_table
+    from tiny_lingua_ray.stages.multimodal import (
+        VideoFeatures,
+        decode_video,
+        encode_raw_video,
+    )
+
+    frames = np.arange(4 * 8 * 8 * 3, dtype=np.uint8).reshape(4, 8, 8, 3)
+    out, fps = decode_video(encode_raw_video(frames, fps=30))
+    assert fps == 30 and np.array_equal(out, frames)
+
+    t = make_video_table(12)
+    got = (
+        rd.from_arrow(t)
+        .map_batches(VideoFeatures, batch_format="pyarrow", batch_size=4,
+                     concurrency=2, num_cpus=1)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert len(got) == 12
+    # sample_every=5 -> ceil(n/5) sampled frames
+    assert (
+        got["vid_sampled"].to_numpy()
+        == -(-got["vid_frames"].to_numpy() // 5)
+    ).all()
+    assert (got["fps"] == 24).all()
+    # deterministic across runs
+    got2 = (
+        rd.from_arrow(make_video_table(12))
+        .map_batches(VideoFeatures, batch_format="pyarrow", batch_size=4,
+                     concurrency=2, num_cpus=1)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert got.reset_index(drop=True).equals(got2.reset_index(drop=True))
+
+
+def test_video_real_codec_guard():
+    import pytest as _pytest
+
+    from tiny_lingua_ray.stages.multimodal import decode_video
+
+    with _pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x01\xbamp4-ish garbage")

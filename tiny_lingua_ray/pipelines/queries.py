@@ -752,6 +752,26 @@ def q_audio_features(sf_dir: str):
     ).select_columns(["media_id", "duration_sec", "rms", "n_frames"])
 
 
+def q_video_features(sf_dir: str):
+    """Multimodal: decode RAW video -> frame-sample -> per-clip features
+    (actor pool, small batches — payloads dominate block memory)."""
+    import ray.data as rd
+
+    from tiny_lingua_ray.sources.media import make_video_table
+    from tiny_lingua_ray.stages.multimodal import VideoFeatures
+
+    ds = rd.from_arrow(make_video_table(48))
+    return ds.map_batches(
+        VideoFeatures,
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+        num_cpus=1,
+    ).select_columns(
+        ["media_id", "vid_frames", "vid_sampled", "fps", "mean_luma", "mid_dhash"]
+    )
+
+
 def q_cosine_near_dup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs via MULTI-BAND hyperplane LSH
     (24 bands x 3 planes -> per-pair miss ~(1-0.25)^24 at cosine 0.4) with
@@ -907,6 +927,7 @@ QUERIES = {
     "cosine_near_dup": q_cosine_near_dup,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
+    "video_features": q_video_features,
     "langid_fallback": q_langid_fallback,
     "langid_confidences": q_langid_confidences,
     "multilang_sections": q_multilang_sections,

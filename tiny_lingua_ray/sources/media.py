@@ -45,3 +45,25 @@ def make_media_table(n_rows: int = 64, seed: int = 42) -> pa.Table:
             "meta_sample_rate": pa.array(rates, pa.int32()),
         }
     )
+
+
+def make_video_table(n_rows: int = 16, seed: int = 7) -> pa.Table:
+    """Deterministic synthetic video clips (RAW container)."""
+    from tiny_lingua_ray.stages.multimodal import encode_raw_video
+
+    ids, payloads, frames_meta = [], [], []
+    for i in range(n_rows):
+        rng = np.random.RandomState(seed + i)
+        n = 8 + (i % 5) * 4
+        clip = rng.randint(0, 256, size=(n, 16, 16, 3), dtype=np.uint8)
+        ids.append(i)
+        payloads.append(encode_raw_video(clip, fps=24))
+        frames_meta.append(n)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["video"] * n_rows, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_frames": pa.array(frames_meta, pa.int32()),
+        }
+    )

@@ -161,3 +161,72 @@ class AudioFeatures:
             .append_column("rms", pa.array(np.round(rms, 6)))
             .append_column("n_frames", pa.array(n_frames))
         )
+
+
+RAW_VID_MAGIC = b"TLRVID1\x00"
+
+
+def encode_raw_video(frames: np.ndarray, fps: int) -> bytes:
+    """uint8 [N, H, W, 3] -> RAW container bytes."""
+    n, h, w, c = frames.shape
+    return (
+        RAW_VID_MAGIC + struct.pack("<IIIII", n, h, w, c, fps) + frames.tobytes()
+    )
+
+
+def decode_video(payload: bytes) -> tuple[np.ndarray, int]:
+    """-> (uint8 [N, H, W, 3] frames, fps).  Same codec policy as
+    image/audio: only the deterministic RAW container decodes here; real
+    containers (mp4/webm) need pyav/opencv, absent in this environment."""
+    if payload.startswith(RAW_VID_MAGIC):
+        n, h, w, c, fps = struct.unpack("<IIIII", payload[8:28])
+        return (
+            np.frombuffer(payload[28:], dtype=np.uint8).reshape(n, h, w, c),
+            fps,
+        )
+    raise NotImplementedError(
+        "real video codecs (pyav/opencv) unavailable in this environment; "
+        "only the RAW container (encode_raw_video) is decodable"
+    )
+
+
+class VideoFeatures:
+    """Actor-pool stage: decode -> frame-sample -> per-clip features.
+
+    Appends: vid_frames (total), vid_sampled (every ``sample_every``-th
+    frame), fps, mean_luma (over sampled frames, ITU-R 601), mid_dhash
+    (dHash of the middle sampled frame).  Small ``batch_size`` — video
+    payloads dominate block memory.
+    """
+
+    def __init__(self, payload_column: str = "payload", sample_every: int = 5):
+        self.payload_column = payload_column
+        self.sample_every = sample_every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_column).to_pylist()
+        R = len(payloads)
+        n_total = np.zeros(R, np.int32)
+        n_sampled = np.zeros(R, np.int32)
+        fps_col = np.zeros(R, np.int32)
+        luma = np.zeros(R)
+        mid_hash = np.zeros(R, np.uint64)
+        for i, p in enumerate(payloads):
+            frames, fps = decode_video(p)
+            sampled = frames[:: self.sample_every]
+            n_total[i], n_sampled[i], fps_col[i] = (
+                len(frames), len(sampled), fps,
+            )
+            f = sampled.astype(np.float64)
+            luma[i] = (
+                0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+            ).mean()
+            mid_hash[i] = np.uint64(dhash64(sampled[len(sampled) // 2]))
+        return (
+            batch.drop_columns([self.payload_column])
+            .append_column("vid_frames", pa.array(n_total))
+            .append_column("vid_sampled", pa.array(n_sampled))
+            .append_column("fps", pa.array(fps_col))
+            .append_column("mean_luma", pa.array(np.round(luma, 4)))
+            .append_column("mid_dhash", pa.array(mid_hash))
+        )
