@@ -411,7 +411,13 @@ def run_quality_filter(
         shutil.rmtree(out, ignore_errors=True)
     clear_incomplete_partition_data(out, cfg.num_partitions, lineage)
 
-    ds = rd.read_parquet(str(input_path))
+    ds = rd.read_parquet(str(input_path)).map_batches(
+        # strip pandas-written schema metadata: pyarrow 16 can't hash it,
+        # which defeats Ray's schema dedup downstream (see queries._read)
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     cols = set(ds.schema().names)
     if "html" not in cols:
         if {"doc_id", "text"} <= cols:

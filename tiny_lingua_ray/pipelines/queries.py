@@ -19,6 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from tiny_lingua_ray.tableutil import from_df as _from_df
+
 
 def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
     import os
@@ -36,30 +38,21 @@ def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
     kwargs = {}
     if num_blocks:
         kwargs["override_num_blocks"] = num_blocks
-    return rd.read_parquet(path, columns=columns, **kwargs)
+    ds = rd.read_parquet(path, columns=columns, **kwargs)
+    # The driver testdata was written by pandas, so every file schema
+    # carries the b'pandas' metadata blob — which pyarrow 16 cannot hash,
+    # defeating Ray's schema dedup in EVERY downstream unify/shuffle
+    # ("Failed to hash the schemas" spam + slow full unifies).  Strip it
+    # once at the read; zero-copy and fused with the read stage.
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 
-def _pool(frac: float = 0.75, reserve: int = 2, floor: int = 2) -> tuple[int, int]:
-    """AUTOSCALING actor-pool bounds (min, max) from cluster CPUs.
-
-    Max sized from CPUs (never hard-code concurrency=2: that starves a
-    32-CPU box; see pipelines/quality_filter._cap_pool).  Min stays at
-    ``floor``: a FIXED pool (plain int) must fully start before the
-    dataset makes progress, and when a previous query's pool is still
-    tearing down — or two pools are chained — the fixed minimum can
-    exceed free CPUs and deadlock the whole run (observed: q_perplexity
-    after q_langid at 32 CPUs, both pools idle forever)."""
-    cpus = 8
-    try:
-        import ray
-
-        if ray.is_initialized():
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-    except ImportError:
-        pass
-    top = max(floor, min(int(cpus * frac), max(1, cpus - reserve)))
-    return (min(floor, top), top)
+from tiny_lingua_ray.pool import cpu_pool as _pool  # noqa: E402  (shared sizing; see pool.py)
 
 
 _MODELS_READY = False
@@ -91,7 +84,7 @@ def q_lineitem_pricing(sf_dir: str):
             sum_disc=("l_discount", "sum"),
             n_rows=("l_quantity", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_df(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -151,7 +144,7 @@ def q_join_orders_customers(sf_dir: str):
             n_orders=("o_orderkey", "size"),
             sum_total=("o_totalprice", "sum"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_df(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -175,7 +168,7 @@ def q_topk_orders(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().nlargest(10, ["o_totalprice", "o_orderkey"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_df(df, preserve_index=False)
 
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     partials = ds.map_batches(
@@ -195,7 +188,7 @@ def q_distinct_users_per_event(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
         df["shard"] = df["user_id"] % 16
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_df(df, preserve_index=False)
 
     def distinct_in_shard(df):
         d = df.drop_duplicates(["event_type", "user_id"])
@@ -271,7 +264,7 @@ def q_events_daily(sf_dir: str):
         g = df.groupby(["event_type", "day"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_df(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -395,21 +388,37 @@ def q_exact_dedup(sf_dir: str):
 
 
 def q_mean_word_len(sf_dir: str):
-    """Gopher-style per-doc metric, SQL-expressible subset."""
+    """Gopher-style per-doc metric, SQL-expressible subset.
+
+    Pure Arrow kernels (no per-row Python): split_pattern -> flattened
+    utf8_length -> segment sums via cumsum over the list offsets.  Empty
+    tokens (runs of spaces) contribute 0 chars and are excluded from the
+    word count, matching ``[w for w in t.split(' ') if w]``."""
 
     def mwl(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_words = np.zeros(len(texts), dtype=np.int64)
-        mean_wl = np.zeros(len(texts), dtype=np.float64)
-        for i, t in enumerate(texts):
-            words = [w for w in (t or "").split(" ") if w]
-            n_words[i] = len(words)
-            if words:
-                mean_wl[i] = sum(map(len, words)) / len(words)
+        txt = pc.fill_null(batch.column("text"), "")
+        words = pc.split_pattern(txt, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = (
+            pc.utf8_length(words.values)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        offsets = np.asarray(words.offsets)
+        csum_chars = np.concatenate(([0], np.cumsum(lens)))
+        csum_words = np.concatenate(([0], np.cumsum(lens > 0)))
+        total_chars = csum_chars[offsets[1:]] - csum_chars[offsets[:-1]]
+        n_words = csum_words[offsets[1:]] - csum_words[offsets[:-1]]
+        mean_wl = np.divide(
+            total_chars, n_words,
+            out=np.zeros(len(n_words), dtype=np.float64),
+            where=n_words > 0,
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_words": pa.array(n_words),
+                "n_words": pa.array(n_words.astype(np.int64)),
                 "mean_word_len": pa.array(np.round(mean_wl, 6)),
             }
         )
@@ -572,89 +581,139 @@ def q_fingerprint(sf_dir: str):
 
 def q_jaccard_pairs(sf_dir: str):
     """MinHash-LSH candidates verified with exact char-5-gram Jaccard
-    >= 0.8, DISTRIBUTED: the small pair list is broadcast via ray.put;
-    shingle sets are computed inside map_batches where the text lives and
-    shuffled ONCE by pair shard; per-shard pandas groupby joins the two
-    sides of each pair.  No driver-side text materialization (the only
-    driver-held object is the candidate pair list itself)."""
-    import ray
+    >= 0.8, FULLY STREAMING — the candidate pair list stays a Dataset end
+    to end (round-2 verdict: the old broadcast pair_map materialized the
+    post-LSH pair list on the driver, itself a large dataset on
+    boilerplate-heavy web text at scale).
 
+    Two-exchange tagged-union cogroup (the relational_ext join idiom):
+
+    1. cogroup on ``doc_id % P``: pair "requests" (2 tiny rows per pair)
+       union the corpus; per shard, each requested doc is shingled ONCE
+       and exploded to flat (pair_key, shingle_hash) uint64 rows — text
+       moves through exactly one exchange, non-candidate docs are dropped
+       in-shard, and no list columns ride the second shuffle.
+    2. cogroup on ``pair_key % P``: |intersection| and |union| per pair
+       fall out of one pandas-C groupby over the flat rows (a shingle
+       seen twice in a pair is in both docs — each side emits unique
+       shingles), so Jaccard never touches Python sets.
+
+    An empty shingle set emits one SENTINEL row so that two empty docs
+    verify at jaccard 1.0 (set semantics of the pure-Python oracle
+    ``stages.dedup.jaccard``)."""
     from tiny_lingua_ray.stages.dedup import char_shingles, minhash_lsh_candidates
 
     P = 16
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32)
-    cands = minhash_lsh_candidates(docs).to_pandas()
-    if len(cands) == 0:
-        return pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
-        )
-    # doc_id -> [(pair_idx, id_a, id_b)] — broadcast once, read per task
-    pair_map: dict[int, list[tuple[int, int, int]]] = {}
-    for idx, (a, b) in enumerate(zip(cands["id_a"], cands["id_b"])):
-        pair_map.setdefault(int(a), []).append((idx, int(a), int(b)))
-        pair_map.setdefault(int(b), []).append((idx, int(a), int(b)))
-    pm_ref = ray.put(pair_map)
+    _SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-    def emit_shingles(batch: pa.Table) -> pa.Table:
-        pm = ray.get(pm_ref)
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        o_idx, o_a, o_b, o_doc, o_sh = [], [], [], [], []
-        for i, t in zip(ids, texts):
-            hits = pm.get(int(i))
-            if not hits:
-                continue
-            sh = char_shingles(t or "").tolist()  # compute ONCE per doc
-            for idx, a, b in hits:
-                o_idx.append(idx)
-                o_a.append(a)
-                o_b.append(b)
-                o_doc.append(int(i))
-                o_sh.append(sh)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32)
+    cands = minhash_lsh_candidates(docs)
+
+    def emit_requests(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pk = (a << np.uint64(32)) | b
+        doc = np.concatenate([a, b]).astype(np.int64)
+        pk2 = np.concatenate([pk, pk]).astype(np.int64)  # int64 view
         return pa.table(
             {
-                "pair_idx": pa.array(o_idx, pa.int64()),
-                "id_a": pa.array(o_a, pa.int64()),
-                "id_b": pa.array(o_b, pa.int64()),
-                "doc_id": pa.array(o_doc, pa.int64()),
-                "shingles": pa.array(o_sh, pa.list_(pa.uint64())),
-                "shard": pa.array(
-                    [ix % P for ix in o_idx], pa.int64()
-                ),
+                "shard": pa.array(doc % P),
+                "doc_id": pa.array(doc),
+                "pair_key": pa.array(pk2),
+                "text": pa.nulls(len(doc), pa.string()),
+                "side": pa.array(np.zeros(len(doc), dtype=np.int8)),
             }
         )
 
-    def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in df.groupby("pair_idx", sort=False):
-            if len(g) < 2:
-                continue  # one side empty/missing
-            sa = set(g["shingles"].iloc[0].tolist())
-            sb = set(g["shingles"].iloc[1].tolist())
-            union = len(sa | sb)
-            j = (
-                1.0
-                if not sa and not sb
-                else (len(sa & sb) / union if union else 0.0)
-            )
-            if j >= 0.8:
-                out.append(
-                    (int(g["id_a"].iloc[0]), int(g["id_b"].iloc[0]), round(j, 6))
-                )
-        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "shard": pa.array(ids % P),
+                "doc_id": pa.array(ids),
+                "pair_key": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "text": batch.column("text"),
+                "side": pa.array(np.ones(len(ids), dtype=np.int8)),
+            }
+        )
 
+    empty_flat = pd.DataFrame(
+        {"shard2": pd.Series(dtype="int64"),
+         "pair_key": pd.Series(dtype="uint64"),
+         "sh": pd.Series(dtype="uint64")}
+    )
+
+    def shingle_join(df: pd.DataFrame) -> pd.DataFrame:
+        req = df[df["side"] == 0]
+        if len(req) == 0:
+            return empty_flat
+        txt = df[df["side"] == 1]
+        txt = txt[txt["doc_id"].isin(set(req["doc_id"].tolist()))]
+        sh_map = {
+            int(d): char_shingles(t or "")
+            for d, t in zip(txt["doc_id"], txt["text"])
+        }
+        sh_parts, pk_parts = [], []
+        for d, pk in zip(
+            req["doc_id"].to_numpy(),
+            req["pair_key"].to_numpy().astype(np.uint64),
+        ):
+            sh = sh_map.get(int(d))
+            if sh is None:
+                continue  # doc absent from the corpus shard
+            if len(sh) == 0:
+                sh = np.array([_SENT], dtype=np.uint64)
+            sh_parts.append(sh)
+            pk_parts.append(np.full(len(sh), pk, dtype=np.uint64))
+        if not sh_parts:
+            return empty_flat
+        pk_all = np.concatenate(pk_parts)
+        return pd.DataFrame(
+            {
+                "shard2": (pk_all % np.uint64(P)).astype(np.int64),
+                "pair_key": pk_all,
+                "sh": np.concatenate(sh_parts),
+            }
+        )
+
+    empty_out = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "jaccard": pd.Series(dtype="float64")}
+    )
+
+    def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty_out
+        counts = df.groupby(["pair_key", "sh"], sort=False).size()
+        union = counts.groupby(level=0).size()
+        inter = (counts == 2).groupby(level=0).sum()
+        j = inter / union
+        keep = j[j >= 0.8].round(6)
+        if len(keep) == 0:
+            return empty_out
+        pk = keep.index.to_numpy().astype(np.uint64)
+        return pd.DataFrame(
+            {
+                "id_a": (pk >> np.uint64(32)).astype(np.int64),
+                "id_b": (pk & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "jaccard": keep.to_numpy(),
+            }
+        )
+
+    requests = cands.map_batches(emit_requests, batch_format="pyarrow")
+    corpus = docs.map_batches(tag_docs, batch_format="pyarrow")
     out = (
-        docs.map_batches(emit_shingles, batch_format="pyarrow")
+        requests.union(corpus)
         .groupby("shard")
+        .map_groups(shingle_join, batch_format="pandas")
+        .groupby("shard2")
         .map_groups(verify_shard, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:
-        return pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
-        )
+        return empty_out
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
@@ -693,7 +752,7 @@ def q_embedding_label_stats(sf_dir: str):
         g = df.groupby("label", as_index=False).agg(
             n_vecs=("norm", "size"), sum_norm=("norm", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_df(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 

@@ -29,7 +29,25 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from tiny_lingua_ray.stages.dedup import _md5_lower64
+from tiny_lingua_ray.tableutil import from_df as _from_df
+
+from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
+
+
+def _id_rank_hash(ids: np.ndarray, scheme: str) -> np.ndarray:
+    """uint64 rank hash per id.  ``scheme="md5"`` (default in the
+    queries) is bit-identical to DuckDB ``md5_number_lower`` so the whole
+    split/sample assignment is SQL-oracle-verifiable; ``scheme="fnv"`` is
+    the vectorized production path (stages/dedup.fnv1a_64 semantics,
+    ~10x cheaper, not SQL-expressible)."""
+    strs = [str(i) for i in ids]
+    if scheme == "md5":
+        return _md5_lower64_batch(strs)
+    if scheme == "fnv":
+        from tiny_lingua_ray.models.train import fnv1a_64_batch
+
+        return fnv1a_64_batch(strs)
+    raise ValueError(f"unknown hash scheme {scheme!r} (want 'md5' or 'fnv')")
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -95,6 +113,14 @@ def q_order_lineitem_band_join(sf_dir: str):
         m = l.merge(o, on="key", how="inner")
         d = m["ts_us"] - m["o_ts"]
         m = m[(d >= 0) & (d <= 90 * _US_PER_DAY)]
+        if len(m) == 0:
+            # typed empty: groupby on an empty frame yields dtypes the
+            # downstream schema-unify can't hash (RefBundle warnings)
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series(dtype="int64"),
+                 "n_items": pd.Series(dtype="int64"),
+                 "sum_price": pd.Series(dtype="float64")}
+            )
         g = m.groupby("key", as_index=False).agg(
             n_items=("price", "size"), sum_price=("price", "sum")
         )
@@ -154,13 +180,21 @@ def q_asof_event_order(sf_dir: str):
         g = df.groupby(["key", "ts_us"], as_index=False)["id"].max()
         g["shard"] = g["key"] % P
         g["side"] = np.int8(1)
-        return pa.Table.from_pandas(
+        return _from_df(
             g[["shard", "key", "ts_us", "id", "side"]], preserve_index=False
         )
+
+    empty_asof = pd.DataFrame(
+        {"event_id": pd.Series(dtype="int64"),
+         "user_id": pd.Series(dtype="int64"),
+         "o_orderkey": pd.Series(dtype="int64")}
+    )
 
     def asof_in_shard(df: pd.DataFrame) -> pd.DataFrame:
         ev = df[df["side"] == 0][["key", "ts_us", "id"]].sort_values("ts_us")
         od = df[df["side"] == 1][["key", "ts_us", "id"]]
+        if len(ev) == 0 or len(od) == 0:
+            return empty_asof  # typed empty (RefBundle schema warnings)
         # cross-block duplicates of (key, ts_us) can survive the
         # block-local pre-reduce; finish it here (tiny per shard)
         od = (
@@ -225,11 +259,20 @@ def q_semi_join_big_spenders(sf_dir: str):
     key_arr = np.unique(keys_ds["k"].to_numpy())
     keys_ref = ray.put(key_arr)
 
+    empty = pa.table(
+        {"event_type": pa.array([], pa.string()),
+         "n_events": pa.array([], pa.int64())}
+    )
+
     def count_partial(b: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)  # zero-copy plasma read per task
         uid = b.column("user_id").to_numpy(zero_copy_only=False)
         mask = np.isin(uid, keys, assume_unique=False)
         t = b.filter(pa.array(mask))
+        if t.num_rows == 0:
+            # typed: from_pandas on an empty groupby infers a null-typed
+            # event_type column and breaks downstream schema unification
+            return empty
         df = (
             pa.table({"event_type": t.column("event_type")})
             .to_pandas()
@@ -237,7 +280,7 @@ def q_semi_join_big_spenders(sf_dir: str):
             .size()
             .rename(columns={"size": "n_events"})
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_df(df, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -273,7 +316,7 @@ def q_group_topk_docs(sf_dir: str):
             .groupby("lang", as_index=False)
             .head(K)
         )
-        return pa.Table.from_pandas(top, preserve_index=False)
+        return _from_df(top, preserve_index=False)
 
     parts = (
         _read(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"])
@@ -292,22 +335,18 @@ def q_group_topk_docs(sf_dir: str):
 # Deterministic hash split
 # ---------------------------------------------------------------------------
 
-def q_hash_split(sf_dir: str):
-    """Deterministic train/val/test split: bucket = md5(doc_id) % 10
-    (<8 train, 8 val, 9 test) — reproducible across runs/engines, no
-    RNG, bit-identical to DuckDB ``md5_number_lower`` so the whole split
-    is oracle-verified.  Per-block partial counts -> 3-row groupby.
-
-    Scale note: md5-per-id costs ~1 us/row; a production split would use
-    the vectorized FNV path (stages/dedup.fnv1a_64) — md5 here buys SQL
-    verifiability of the exact assignment.
-    """
+def q_hash_split(sf_dir: str, scheme: str = "md5"):
+    """Deterministic train/val/test split: bucket = hash(doc_id) % 10
+    (<8 train, 8 val, 9 test) — reproducible across runs/engines, no RNG.
+    ``scheme="md5"`` (default) is bit-identical to DuckDB
+    ``md5_number_lower`` so the whole split is oracle-verified;
+    ``scheme="fnv"`` is the vectorized production path (~10x cheaper
+    per row, same distribution, not SQL-expressible).  Per-block partial
+    counts -> 3-row groupby."""
 
     def partial(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        buckets = np.fromiter(
-            (_md5_lower64(str(i)) % 10 for i in ids), dtype=np.int64, count=len(ids)
-        )
+        buckets = (_id_rank_hash(ids, scheme) % np.uint64(10)).astype(np.int64)
         split = np.where(buckets < 8, "train", np.where(buckets == 8, "val", "test"))
         df = pd.DataFrame(
             {"split": split, "n_chars": b.column("n_chars").to_numpy(zero_copy_only=False)}
@@ -315,7 +354,7 @@ def q_hash_split(sf_dir: str):
         g = df.groupby("split", as_index=False).agg(
             n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_df(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -350,7 +389,7 @@ def q_rolling_7d_value(sf_dir: str):
             {"event_type": b["event_type"], "day": day, "value": b["value"]}
         ).to_pandas()
         g = df.groupby(["event_type", "day"], as_index=False).agg(v=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_df(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -423,19 +462,19 @@ def q_percentiles_chars(sf_dir: str):
 # Deterministic stratified sample
 # ---------------------------------------------------------------------------
 
-def q_stratified_sample(sf_dir: str):
+def q_stratified_sample(sf_dir: str, scheme: str = "md5"):
     """Deterministic stratified sample: the 5 docs per language with the
-    smallest md5(doc_id) — rank-by-hash gives an unbiased, reproducible,
-    engine-independent sample with no RNG state to ship.  Same partial
+    smallest hash(doc_id) — rank-by-hash gives an unbiased, reproducible,
+    engine-independent sample with no RNG state to ship.  ``scheme="md5"``
+    (default) matches DuckDB ``md5_number_lower`` for the SQL oracle;
+    ``scheme="fnv"`` is the vectorized production path.  Same partial
     top-k shape as q_group_topk_docs: per-block smallest-5 per group,
     tiny merge, never a full-cardinality shuffle."""
     K = 5
 
     def partial(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        rank = np.fromiter(
-            (_md5_lower64(str(i)) for i in ids), dtype=np.uint64, count=len(ids)
-        )
+        rank = _id_rank_hash(ids, scheme)
         df = pd.DataFrame(
             {
                 "lang": b.column("lang").to_pandas(),
@@ -448,7 +487,7 @@ def q_stratified_sample(sf_dir: str):
             .groupby("lang", as_index=False)
             .head(K)
         )
-        return pa.Table.from_pandas(top, preserve_index=False)
+        return _from_df(top, preserve_index=False)
 
     parts = (
         _read(sf_dir, "documents", columns=["lang", "doc_id"])
@@ -490,7 +529,7 @@ def q_json_extract_stats(sf_dir: str):
         g = df.groupby("event_type", as_index=False).agg(
             sum_k=("k", "sum"), n=("k", "size")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_df(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -532,7 +571,7 @@ def q_pivot_event_counts(sf_dir: str):
         out = out.fillna(0)
         for t in _EVENT_TYPES:
             out[f"n_{t}"] = out[f"n_{t}"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _from_df(out, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -562,7 +601,7 @@ def q_group_percentiles(sf_dir: str):
         ).to_pandas()
         g = df.groupby(["lang", "n_chars"], as_index=False).size()
         g = g.rename(columns={"size": "cnt"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_df(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -609,7 +648,7 @@ def q_range_join_size_buckets(sf_dir: str):
         g = df.groupby("bucket_lo", as_index=False).agg(
             n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_df(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -649,7 +688,7 @@ def q_substring_filter(sf_dir: str):
             .size()
             .rename(columns={"size": "n_docs"})
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_df(df, preserve_index=False)
 
     from ray.data.aggregate import Sum
 

@@ -16,6 +16,8 @@ import heapq
 import numpy as np
 import pyarrow as pa
 
+from tiny_lingua_ray.pool import cpu_pool
+
 _HP_SEED = 7
 
 
@@ -115,7 +117,7 @@ def knn_brute_force(ds, query_ids, k: int = 5, id_column: str = "vec_id",
             "vec_column": vec_column,
         },
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=cpu_pool(),
     ).to_pandas()
 
     # global reduce: top-k per query (partials are k * n_batches rows)
@@ -247,7 +249,7 @@ def knn_ivf(ds, query_ids, k: int = 5, n_cells: int = 16, n_probe: int = 4,
             "id_column": id_column, "vec_column": vec_column,
         },
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=cpu_pool(),
     ).to_pandas()
 
     out = []
