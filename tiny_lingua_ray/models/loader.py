@@ -148,6 +148,18 @@ def build_resolved_cache(models_dir: Path, languages=ALL_ISO1) -> Path:
         try:
             langs = np.load(out_dir / "languages.npy", allow_pickle=False)
             if list(langs) == list(languages):
+                if not (out_dir / "matrix32.npy").exists():
+                    # upgrade a pre-float32-twin cache ONCE, driver-side
+                    # (ensure_models runs here before any actor pool
+                    # spawns).  Deriving lazily in load_resolved_cache
+                    # made every cold worker materialize the full float64
+                    # matrix in RAM and write its own copy concurrently.
+                    _save_npy(
+                        out_dir / "matrix32.npy",
+                        np.load(
+                            out_dir / "matrix.npy", allow_pickle=False
+                        ).astype(np.float32),
+                    )
                 return out_dir
         except (OSError, ValueError):
             pass
@@ -211,17 +223,11 @@ def load_resolved_cache(models_dir: Path) -> dict | None:
     d = Path(models_dir) / RESOLVED_CACHE_DIR
     if not (d / "languages.npy").exists() or not (d / "hash.npy").exists():
         return None
-    if not (d / "matrix32.npy").exists():
-        # derive the float32 twin from a pre-existing v3 cache once
-        try:
-            _save_npy(
-                d / "matrix32.npy",
-                np.load(d / "matrix.npy", allow_pickle=False).astype(
-                    np.float32
-                ),
-            )
-        except (OSError, ValueError):
-            pass
+    # NOTE: no lazy matrix32 derivation here — build_resolved_cache
+    # (driver-side, via ensure_models) upgrades old caches once; a worker
+    # that still finds no float32 twin falls back to the float64 matrix
+    # (correct, just slower) instead of N workers each materializing and
+    # writing the full matrix concurrently on first cold run.
     try:
         return {
             "languages": [

@@ -56,6 +56,11 @@ DROP_LANG_NOT_ALLOWED = "lang_not_allowed"
 DROP_QUALITY = "quality"
 DROP_PERPLEXITY = "perplexity"
 
+# Value precision this pipeline's LangIdScorer actors run at.  The
+# object-store model shipment keys off this: only when the scorers are
+# float32 may the float64 matrix be replaced by its float32 twin.
+_SCORER_VALUE_DTYPE = "float32"
+
 
 @dataclass
 class QualityFilterConfig:
@@ -236,10 +241,18 @@ def quality_filter_dataset(
                 )
 
                 cache = load_resolved_cache(mdir)
-                if cache is not None and cache.get("matrix32") is not None:
-                    # the scorer's default float32 path only reads the
-                    # float32 twin — don't double the plasma footprint by
-                    # shipping the float64 matrix alongside it
+                if (
+                    cache is not None
+                    and cache.get("matrix32") is not None
+                    and _SCORER_VALUE_DTYPE == "float32"
+                ):
+                    # this pipeline's scorers run the float32 path (see
+                    # scorer_kwargs below), which only reads the float32
+                    # twin — don't double the plasma footprint by shipping
+                    # the float64 matrix alongside it.  Guarded on the
+                    # dtype actually passed to the scorers: a float64
+                    # pipeline must ship the real float64 matrix or the
+                    # documented bit-parity escape hatch is a no-op.
                     cache = dict(cache, matrix=cache["matrix32"])
                 models_ref = ray.put(
                     {
@@ -255,6 +268,7 @@ def quality_filter_dataset(
         "minimum_relative_distance": cfg.minimum_relative_distance,
         "low_accuracy": cfg.low_accuracy,
         "text_column": "extracted_text",
+        "value_dtype": _SCORER_VALUE_DTYPE,
     }
     pp_kwargs: dict = {
         "languages": cfg.languages,

@@ -212,10 +212,13 @@ class LangIdScorer:
         value_dtype: str = "float32",
     ):
         # value_dtype: precision of the resolved-value gather/reduce hot
-        # loop.  float32 (default) halves the dominant memory traffic —
-        # per-language partial sums still accumulate in float64, and the
-        # parity suite pins 0 prediction mismatches vs the pure float64
-        # detector.  Pass "float64" for bit-level value parity.
+        # loop.  float32 (default) halves the dominant memory traffic.
+        # Precision shape: within each n-gram level the per-row reduceat
+        # sums accumulate in float32 (P.dtype); only the cross-level
+        # `totals += S` accumulator is float64.  Float32 rounding thus
+        # grows with document length; the parity suite pins 0 prediction
+        # mismatches vs the pure float64 detector on short AND long
+        # (multi-KB) documents.  Pass "float64" for bit-level value parity.
         self.value_dtype = (
             np.float32 if str(value_dtype) == "float32" else np.float64
         )
