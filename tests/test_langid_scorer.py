@@ -205,6 +205,87 @@ def test_iso3_codes_match_reference_enum():
     assert ISO3_BY_ISO1["de"] == "deu" and ISO3_BY_ISO1["zh"] == "zho"
 
 
+def test_subset_attach_matches_cold_resolved(models_dir, monkeypatch):
+    """The subset-attach path (base_col_map column slice of the warmed
+    75-language resolved cache) must score identically to a cold scorer
+    that resolves every value from the packed models at query time.  Uses
+    a 6-language Latin subset so batches reach the sliced-gather scoring
+    loop (not the single-candidate short-circuit)."""
+    import numpy as np
+
+    langs = ("en", "de", "es", "fr", "it", "pt")
+    kwargs = dict(
+        models_dir=str(models_dir),
+        languages=langs,
+        build_if_missing=False,
+        emit_confidences=True,
+        value_dtype="float64",
+    )
+    warm = LangIdScorer(**kwargs)
+    # warmed base must actually be attached through a column map
+    assert warm.value_cache.base_n > 0
+    assert warm.value_cache.base_col_map is not None
+    assert list(warm.value_cache.base_col_map) != list(range(len(langs)))
+
+    monkeypatch.setattr(
+        "tiny_lingua_ray.models.loader.load_resolved_cache", lambda d: None
+    )
+    cold = LangIdScorer(**kwargs)
+    assert cold.value_cache.base_n == 0 and cold.uni_hashes is None
+
+    texts = _corpus_sample(20) + ADVERSARIAL
+    batch = pa.table({"text": texts})
+    out_w, out_c = warm(batch), cold(batch)
+    assert (
+        out_w.column("pred_lang").to_pylist()
+        == out_c.column("pred_lang").to_pylist()
+    )
+    for t, cw, cc in zip(
+        texts,
+        out_w.column("confidence_values").to_pylist(),
+        out_c.column("confidence_values").to_pylist(),
+    ):
+        assert [e["lang"] for e in cw] == [e["lang"] for e in cc], (
+            f"order mismatch for {t!r}"
+        )
+        np.testing.assert_allclose(
+            [e["conf"] for e in cw],
+            [e["conf"] for e in cc],
+            rtol=1e-9,
+            err_msg=f"conf mismatch for {t!r}",
+        )
+
+
+def test_value_dtype_paths_agree_long_documents(models_dir):
+    """Per-level reduceat sums accumulate in float32 on the f32 path, so
+    rounding grows with document length — multi-KB documents must still
+    predict identically to the float64 path."""
+    from tiny_lingua_ray.models.train import CORPUS_DIR
+
+    docs = []
+    for lang in ("en", "de", "es", "fr", "zh"):
+        lines = [
+            ln
+            for ln in (CORPUS_DIR / "sentences" / f"{lang}.txt")
+            .read_text(encoding="utf-8")
+            .splitlines()
+            if ln
+        ]
+        for start in (0, 150, 300):
+            doc = " ".join(lines[start : start + 150])
+            assert len(doc) > 4000, "long-doc corpus must be multi-KB"
+            docs.append(doc)
+
+    batch = pa.table({"text": docs})
+    outs = {}
+    for dt in ("float32", "float64"):
+        s = LangIdScorer(
+            models_dir=str(models_dir), build_if_missing=False, value_dtype=dt
+        )
+        outs[dt] = s(batch).column("pred_lang").to_pylist()
+    assert outs["float32"] == outs["float64"]
+
+
 def test_value_dtype_paths_agree(models_dir):
     """float32 (default) and float64 value caches predict identically on
     the corpus sample — the f32 hot path accumulates partials in f64, so
