@@ -54,7 +54,14 @@ def corpus_dataset(languages=ALL_ISO1, limit_per_file: int | None = None):
             "split": pa.array(splits, pa.string()),
         }
     )
-    return rd.from_arrow(table)
+    # from_arrow(table) yields ONE block — the downstream actor pool would
+    # receive a single input and run 1-wide no matter its concurrency.
+    # Slice into ~64 zero-copy blocks so the pool actually fans out.
+    n = max(1, min(64, len(table) // 2048))
+    step = -(-len(table) // n)
+    return rd.from_arrow(
+        [table.slice(i, step) for i in range(0, len(table), step)]
+    )
 
 
 def run_accuracy_report(
