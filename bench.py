@@ -148,13 +148,14 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             RAY_GRAFT_HEADLINE_ONLY="1",
             # larger corpus for the scaling runs so per-run fixed costs
-            # (session + pool startup) don't masquerade as poor scaling
-            # 1.6M rows: at 800k the 32-CPU leg's fixed costs (session +
-            # actor-pool startup, ~5s) were ~17% of its wall vs ~5% on the
-            # 8-CPU leg, biasing efficiency DOWN; doubling the corpus
-            # halves that bias and is closer to the steady-state regime
-            # the N->4N criterion models
-            GRAFT_CC_ROWS=os.environ.get("GRAFT_SCALING_ROWS", "1600000"),
+            # (session + pool startup) don't masquerade as poor scaling:
+            # a fixed cost c gives (T8+c)/(4*(T32+c)) < T8/(4*T32), i.e.
+            # it always biases efficiency DOWN.  At 800k rows the 32-CPU
+            # leg's ~5s fixed costs were ~17% of wall vs ~5% on the 8-CPU
+            # leg; 3.2M rows (round 3) pushes the 32-CPU leg to ~80-90s
+            # wall so fixed costs are <6% and the measurement approaches
+            # the steady-state regime the N->4N criterion models
+            GRAFT_CC_ROWS=os.environ.get("GRAFT_SCALING_ROWS", "3200000"),
         )
         out = subprocess.run(
             [sys.executable, __file__],

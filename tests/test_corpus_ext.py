@@ -1,0 +1,115 @@
+"""Corpus-analysis extensions (round 3): TF-IDF, duplicate clusters
+(distributed connected components vs a recursive-CTE closure), and the
+HyperLogLog sketch."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.check_oracles import TABLES, canonical_hash, to_pandas  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("key", ["tfidf_top_terms", "dedup_clusters"])
+def test_corpus_query_matches_oracle(ray_session, ddb, key):
+    from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES
+
+    got = to_pandas(QUERIES[key](SF_DIR))
+    want = ddb.sql(ORACLE[key]).df()
+    assert len(got) == len(want), (key, len(got), len(want))
+    assert sorted(got.columns) == sorted(want.columns)
+    assert canonical_hash(got) == canonical_hash(want), key
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Min-label propagation vs a driver union-find on a graph with a
+    long chain (worst case for propagation rounds), a clique, a separate
+    2-cycle pair, and self-contained singletons via self-loops."""
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.cluster import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(0, 9)]          # chain 0..9
+        + [(a, b) for a in (20, 21, 22, 23) for b in (20, 21, 22, 23) if a < b]
+        + [(40, 41)]
+        + [(50, 50)]                                # self-loop singleton
+    )
+    ds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    got = (
+        connected_components(ds, num_shards=4)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert dict(zip(got["node"], got["label"])) == want
+
+
+def test_hll_estimate_error_bound():
+    """Pure-numpy register/estimator check: 1.04/sqrt(m) relative error
+    at p=12 is ~1.6%; assert within 5% across magnitudes."""
+    from tiny_lingua_ray.models.train import fnv1a_64_batch
+    from tiny_lingua_ray.stages.sketch import _registers, hll_estimate
+
+    for n in (100, 5_000, 200_000):
+        h = fnv1a_64_batch([f"user-{i}" for i in range(n)])
+        est = hll_estimate(_registers(h, 12))
+        assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_hll_partials_merge_like_one_pass():
+    """Max-merging per-batch registers must equal the single-pass
+    registers (the property that lets sketches ride any shuffle)."""
+    from tiny_lingua_ray.models.train import fnv1a_64_batch
+    from tiny_lingua_ray.stages.sketch import _registers
+
+    vals = [f"v{i}" for i in range(10_000)]
+    h = fnv1a_64_batch(vals)
+    whole = _registers(h, 12)
+    merged = np.zeros_like(whole)
+    for lo in range(0, len(vals), 1337):
+        merged = np.maximum(merged, _registers(h[lo : lo + 1337], 12))
+    assert np.array_equal(whole, merged)
+
+
+def test_approx_distinct_users_close_to_exact(ray_session, ddb):
+    from tiny_lingua_ray.pipelines.corpus_ext import q_approx_distinct_users
+
+    got = q_approx_distinct_users(SF_DIR)
+    exact = ddb.sql(
+        """SELECT event_type, COUNT(DISTINCT user_id) AS n
+           FROM events GROUP BY event_type ORDER BY event_type"""
+    ).df()
+    assert list(got["event_type"]) == list(exact["event_type"])
+    for e, a in zip(exact["n"], got["n_approx"]):
+        assert abs(int(a) - int(e)) / max(int(e), 1) < 0.05, (e, a)

@@ -22,6 +22,8 @@ from tools.check_oracles import TABLES, canonical_hash, to_pandas  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 EXT_KEYS = (
+    "anti_join_inactive_customers",
+    "event_gaps",
     "stratified_sample",
     "range_join_size_buckets",
     "substring_filter",

@@ -1,0 +1,245 @@
+"""Corpus-analysis extensions (round 3).
+
+Three operators a 100-TB training-data pipeline needs beyond pairwise
+dedup and frequency counts, each in the repo's standard scale shapes:
+
+- per-language TF-IDF top terms: word-sharded cogroup so a word's
+  cross-language document frequency is computed where its counts live
+  (one exchange; driver merge is <= shards x langs x K rows),
+- duplicate CLUSTER assignment: Jaccard-verified near-dup pairs
+  (q_jaccard_pairs, fully streaming) -> distributed connected components
+  (stages/cluster.py min-label propagation) -> cluster sizes.  The
+  DuckDB oracle replays the whole chain with a recursive-CTE transitive
+  closure — the iterative Ray algorithm is verified end to end,
+- HyperLogLog approximate distinct (stages/sketch.py): constant-size
+  mergeable register partials instead of the exact distinct shuffle;
+  rows-only vs the driver (approximate by construction), error-bound
+  asserted against the exact count in tests/test_corpus_ext.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tiny_lingua_ray.tableutil import from_df as _from_df
+
+
+def _read(sf_dir: str, table: str, columns=None, **kw):
+    from tiny_lingua_ray.pipelines.queries import _read as r
+
+    return r(sf_dir, table, columns=columns, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Per-language TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 5
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-5 characteristic terms per language by TF-IDF
+    (tf = term count within the language, idf = ln(#langs / #langs
+    containing the term)).
+
+    Shape: per-batch (lang, word, cnt) Counter partials ->
+    groupby(hash(word) % P) — a word's rows all land in ONE shard, so
+    both its per-language tf and its cross-language document frequency
+    are exact shard-locally -> per-shard per-language top-5 -> driver
+    merges <= P x L x 5 rows.  The language count (a scalar) is the only
+    pre-pass, a distinct-partial aggregate."""
+    from tiny_lingua_ray.models.train import fnv1a_64
+
+    P = 16
+
+    docs = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    # scalar pre-pass: number of distinct languages (per-batch distinct
+    # partials; the driver sees a handful of rows)
+    def distinct_langs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"lang": pc.unique(b.column("lang"))})
+
+    langs = docs.map_batches(distinct_langs, batch_format="pyarrow").to_pandas()
+    n_langs = int(langs["lang"].nunique())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: dict[str, Counter] = {}
+        for lang, t in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            c = counts.setdefault(lang, Counter())
+            c.update((t or "").lower().split(" "))
+        lang_col, word_col, cnt_col = [], [], []
+        for lang, c in counts.items():
+            c.pop("", None)
+            lang_col.extend([lang] * len(c))
+            word_col.extend(c.keys())
+            cnt_col.extend(c.values())
+        shard = np.fromiter(
+            (fnv1a_64(w) % P for w in word_col),
+            dtype=np.int64,
+            count=len(word_col),
+        )
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "lang": pa.array(lang_col, pa.string()),
+                "word": pa.array(word_col, pa.string()),
+                "cnt": pa.array(cnt_col, pa.int64()),
+            }
+        )
+
+    # typed ARROW output both branches: empty pandas object columns trip
+    # Ray's block-size estimator on empty shards
+    empty = pa.table(
+        {"lang": pa.array([], pa.string()),
+         "word": pa.array([], pa.string()),
+         "score": pa.array([], pa.float64())}
+    )
+
+    def topk_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        tf = df.groupby(["lang", "word"], as_index=False)["cnt"].sum()
+        dfreq = tf.groupby("word")["lang"].size().rename("df")
+        tf = tf.join(dfreq, on="word")
+        tf["score"] = (
+            tf["cnt"] * np.log(n_langs / tf["df"].to_numpy())
+        ).round(6)
+        tf = tf.sort_values(
+            ["lang", "score", "word"], ascending=[True, False, True]
+        )
+        top = tf.groupby("lang").head(_TFIDF_K)
+        return pa.table(
+            {
+                "lang": pa.array(top["lang"].tolist(), pa.string()),
+                "word": pa.array(top["word"].tolist(), pa.string()),
+                "score": pa.array(top["score"].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(topk_in_shard, batch_format="pandas")
+        .to_pandas()  # <= P x L x K rows
+    )
+    out = out.sort_values(
+        ["lang", "score", "word"], ascending=[True, False, True]
+    )
+    return out.groupby("lang").head(_TFIDF_K).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over verified near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-duplicate clusters: Jaccard>=0.8 verified LSH pairs ->
+    distributed connected components -> (cluster_id = min doc_id in the
+    component, n_docs).  Only multi-doc clusters appear (an isolated doc
+    is trivially its own cluster).  The oracle replays the exact pair
+    set with a recursive-CTE transitive closure."""
+    from tiny_lingua_ray.pipelines.queries import jaccard_pairs_dataset
+    from tiny_lingua_ray.stages.cluster import connected_components
+
+    pairs = jaccard_pairs_dataset(sf_dir)
+    labels = connected_components(pairs)
+
+    # cluster sizes: label-sharded pandas-C size (cluster count can be
+    # huge at scale — never one Ray group per cluster)
+    P = 16
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shard"] = df["label"].to_numpy() % P
+        return df
+
+    empty = pd.DataFrame(
+        {"cluster_id": pd.Series(dtype="int64"),
+         "n_docs": pd.Series(dtype="int64")}
+    )
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty
+        g = df.groupby("label", as_index=False).size()
+        return g.rename(columns={"label": "cluster_id", "size": "n_docs"})
+
+    return (
+        labels.map_batches(tag, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(sizes, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct users per event type
+# ---------------------------------------------------------------------------
+
+def q_approx_distinct_users(sf_dir: str):
+    """Approximate distinct users per event type (HLL p=12, ~1.6%).
+    The sketch replaces distinct_users_per_event's exact distinct
+    shuffle with constant-size register partials; deterministic (FNV
+    hash, order-free max-merge), but approximate by construction — no
+    SQL oracle, error bound pinned in tests/test_corpus_ext.py."""
+    from tiny_lingua_ray.stages.sketch import approx_distinct_by_group
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct_by_group(ev, "event_type", "user_id", p=12)
+
+
+def _dedup_clusters_oracle(jaccard_pairs_sql: str) -> str:
+    """Composed by queries.py from its own jaccard_pairs oracle so the
+    pair set being closed over is literally the verified one."""
+    return f"""
+        WITH RECURSIVE pairs AS ({jaccard_pairs_sql}),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        lab AS (SELECT u AS node, MIN(v) AS mn FROM reach GROUP BY u)
+        SELECT CAST(LEAST(node, mn) AS BIGINT) AS cluster_id,
+               COUNT(*) AS n_docs
+        FROM lab GROUP BY 1
+    """
+
+
+QUERIES_CORPUS = {
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "dedup_clusters": q_dedup_clusters,
+    "approx_distinct_users": q_approx_distinct_users,
+}
+
+ORACLE_CORPUS = {
+    "tfidf_top_terms": """
+        WITH w AS (
+          SELECT lang, word, COUNT(*) AS tf FROM (
+            SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+          WHERE word <> '' GROUP BY lang, word),
+        dfreq AS (SELECT word, COUNT(*) AS df FROM w GROUP BY word),
+        nl AS (SELECT COUNT(DISTINCT lang) AS n FROM documents),
+        scored AS (
+          SELECT w.lang, w.word,
+                 ROUND(w.tf * ln(nl.n * 1.0 / dfreq.df), 6) AS score
+          FROM w JOIN dfreq USING (word) CROSS JOIN nl)
+        SELECT lang, word, score FROM (
+          SELECT lang, word, score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY score DESC, word) AS rk
+          FROM scored)
+        WHERE rk <= 5
+    """,
+    # filled lazily to avoid a circular import at module load
+}

@@ -357,7 +357,16 @@ def quality_filter_dataset(
 def _write_partitioned_and_count(batch: pa.Table, out_data: str) -> pa.Table:
     """Custom sink stage: write the batch's rows into hive-style
     ``part_id=<k>/`` dirs and RETURN tiny per-(part_id, drop_reason) count
-    partials — per-partition metrics in the same pass, no output read-back."""
+    partials — per-partition metrics in the same pass, no output read-back.
+
+    Sizing at real (multi-GB-per-partition) scale: each call writes one
+    parquet file per part_id PRESENT IN THE BATCH, so file count scales
+    with batches x partitions-touched-per-batch.  Upstream part_id is
+    hash(url) % num_partitions — a batch touches ~all K partitions, so at
+    100 TB keep cfg.batch_size large (>= 64k rows) and num_partitions
+    sized so batch_size/num_partitions stays >= a few thousand rows per
+    file (or pre-bucket by part_id with a repartition when tiny-file
+    pressure on the object store matters more than the extra exchange)."""
     import os
     import uuid
 

@@ -579,7 +579,7 @@ def q_fingerprint(sf_dir: str):
     )
 
 
-def q_jaccard_pairs(sf_dir: str):
+def jaccard_pairs_dataset(sf_dir: str):
     """MinHash-LSH candidates verified with exact char-5-gram Jaccard
     >= 0.8, FULLY STREAMING — the candidate pair list stays a Dataset end
     to end (round-2 verdict: the old broadcast pair_map materialized the
@@ -704,16 +704,27 @@ def q_jaccard_pairs(sf_dir: str):
 
     requests = cands.map_batches(emit_requests, batch_format="pyarrow")
     corpus = docs.map_batches(tag_docs, batch_format="pyarrow")
-    out = (
+    return (
         requests.union(corpus)
         .groupby("shard")
         .map_groups(shingle_join, batch_format="pandas")
         .groupby("shard2")
         .map_groups(verify_shard, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Small driver-side view of :func:`jaccard_pairs_dataset` (the pair
+    set post-verification is tiny at test scale; consumers that need the
+    pairs at scale — e.g. corpus_ext.q_dedup_clusters — compose on the
+    Dataset instead)."""
+    out = jaccard_pairs_dataset(sf_dir).to_pandas()
     if out.empty:
-        return empty_out
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
@@ -1374,3 +1385,14 @@ from tiny_lingua_ray.pipelines.relational_ext import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLE.update(ORACLE_EXT)
+
+# Corpus-analysis extensions (round 3) — see corpus_ext.py
+from tiny_lingua_ray.pipelines.corpus_ext import (  # noqa: E402
+    ORACLE_CORPUS,
+    QUERIES_CORPUS,
+    _dedup_clusters_oracle,
+)
+
+QUERIES.update(QUERIES_CORPUS)
+ORACLE.update(ORACLE_CORPUS)
+ORACLE["dedup_clusters"] = _dedup_clusters_oracle(ORACLE["jaccard_pairs"])

@@ -700,7 +700,161 @@ def q_substring_filter(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Shuffle anti-join (large x large)
+# ---------------------------------------------------------------------------
+
+def q_anti_join_inactive_customers(sf_dir: str):
+    """Customers with NO high-value order (totalprice > 400k), counted
+    per market segment — the anti-join shape (complement of
+    q_semi_join_big_spenders' semi-join).  The price predicate exists so
+    the anti-join is non-degenerate on the synthetic tables (every
+    customer has SOME order at every sf); it is pushed into the orders
+    read as a plain row filter.
+
+    Both sides are large at scale, so no broadcast: the orders side is
+    pre-reduced to per-batch DISTINCT custkeys (16 B/row rides the
+    shuffle, never order rows), cogrouped with customers on
+    ``custkey % P``, and each shard drops customers whose key appears on
+    the order side with one pandas-C isin.  Only (segment, n) partials
+    leave the shards."""
+    P = 32
+    _PRICE = 400_000.0
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("c_custkey"), pa.int64())
+        return pa.table(
+            {
+                "shard": pc.cast(pc.bit_wise_and(key, P - 1), pa.int64()),
+                "key": key,
+                "seg": b.column("c_mktsegment"),
+                "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("o_totalprice"), _PRICE))
+        key = np.unique(
+            b.column("o_custkey").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(key & (P - 1)),
+                "key": pa.array(key),
+                "seg": pa.nulls(len(key), pa.string()),
+                "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            }
+        )
+
+    # typed ARROW empties/outputs: an empty pandas object column trips
+    # Ray's block-size estimator ("cannot call `vectorize` on size 0
+    # inputs") on every empty shard — arrow string columns don't
+    empty = pa.table(
+        {"c_mktsegment": pa.array([], pa.string()),
+         "n_customers": pa.array([], pa.int64())}
+    )
+
+    def anti_in_shard(df: pd.DataFrame) -> pa.Table:
+        cust = df[df["side"] == 0]
+        active = df.loc[df["side"] == 1, "key"]
+        miss = cust[~cust["key"].isin(active)]
+        if len(miss) == 0:
+            return empty
+        g = miss.groupby("seg", as_index=False).size()
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(g["seg"].tolist(), pa.string()),
+                "n_customers": pa.array(
+                    g["size"].to_numpy(dtype=np.int64)
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        prep_cust, batch_format="pyarrow"
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    return (
+        cust.union(orders)
+        .groupby("shard")
+        .map_groups(anti_in_shard, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window lag: per-user inter-event gaps
+# ---------------------------------------------------------------------------
+
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-event-gap stats (the LAG window shape): events are
+    cogrouped on ``user_id % P`` (ONE exchange, a shard holds every event
+    of its users), each shard does one pandas-C sort + per-user diff, and
+    only (user, n, sum, max) rows leave.  All-integer microsecond output —
+    no float accumulation, so the oracle compare is exact at any scale."""
+    P = 16
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": pc.cast(pc.bit_wise_and(uid, P - 1), pa.int64()),
+                "user_id": uid,
+                "ts_us": _ts_us(b.column("ts")),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {"user_id": pd.Series(dtype="int64"),
+         "n_events": pd.Series(dtype="int64"),
+         "sum_gap_us": pd.Series(dtype="int64"),
+         "max_gap_us": pd.Series(dtype="int64")}
+    )
+
+    def gaps_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        gap = df.groupby("user_id")["ts_us"].diff()
+        ok = gap.notna()
+        g = pd.DataFrame(
+            {"user_id": df["user_id"], "gap": gap}
+        )[ok]
+        if len(g) == 0:
+            return empty
+        agg = (
+            g.groupby("user_id")["gap"].agg(["sum", "max", "size"]).reset_index()
+        )
+        n = df.groupby("user_id", as_index=False).size().rename(
+            columns={"size": "n_events"}
+        )
+        out = n.merge(agg, on="user_id", how="inner")  # >=2 events only
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "n_events": out["n_events"].astype("int64"),
+                "sum_gap_us": out["sum"].astype("int64"),
+                "max_gap_us": out["max"].astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(gaps_in_shard, batch_format="pandas")
+    )
+
+
 QUERIES_EXT = {
+    "anti_join_inactive_customers": q_anti_join_inactive_customers,
+    "event_gaps": q_event_gaps,
     "range_join_size_buckets": q_range_join_size_buckets,
     "substring_filter": q_substring_filter,
     "stratified_sample": q_stratified_sample,
@@ -733,6 +887,24 @@ _BUCKET_CASE = (
 )
 
 ORACLE_EXT = {
+    "anti_join_inactive_customers": """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        GROUP BY c_mktsegment
+    """,
+    "event_gaps": """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events)
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        FROM g GROUP BY user_id HAVING COUNT(*) >= 2
+    """,
     "range_join_size_buckets": f"""
         SELECT {_BUCKET_CASE} AS bucket_lo,
                COUNT(*) AS n_docs,

@@ -1,0 +1,145 @@
+"""Mergeable cardinality sketches (HyperLogLog).
+
+Reference scope analogue: the reference engine's accuracy machinery is
+exact-count only; at 100 TB a distinct-count over a high-cardinality key
+(unique URLs, unique n-grams, unique users) cannot afford the exact
+shuffle that `distinct_users_per_event` pays, so the engine needs a
+mergeable sketch: per-batch register partials (2^p bytes each, constant
+regardless of input size) that max-merge associatively — the canonical
+pre-aggregate-inside-map_batches shape where ONLY sketches ride the
+shuffle.
+
+Flajolet et al., "HyperLogLog: the analysis of a near-optimal cardinality
+estimation algorithm" (AofA 2007), with the standard small-range
+(linear-counting) correction.  Hash = FNV-1a 64 (deterministic across
+workers/runs; no seed state).  Relative error ~= 1.04/sqrt(2^p): p=12 ->
+~1.6% on 4 KB of state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants, Steele et al.).
+
+    FNV-1a's HIGH bits avalanche poorly on short similar keys ("user-0"
+    .. "user-99" set only ~4 of 4096 registers), so the register index /
+    rho extraction needs a real mixer on top.  Deterministic, seed-free.
+    """
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """Dense max-register array (uint8[2^p]) for a batch of uint64 hashes."""
+    m = 1 << p
+    hashes = _mix64(hashes)
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # rho = leading-zero count of the remaining bits + 1 (capped)
+    rho = np.full(len(hashes), 64 - p + 1, dtype=np.uint8)
+    nz = rest != 0
+    if nz.any():
+        r = rest[nz]
+        lz = np.zeros(r.shape, dtype=np.uint8)
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = r < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += shift
+            r[mask] = r[mask] << np.uint64(shift)
+        rho[nz] = lz + 1
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range correction."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def approx_distinct_by_group(
+    ds,
+    group_column: str,
+    value_column: str,
+    p: int = 12,
+    num_shards: int = 16,
+):
+    """Per-group approximate distinct count -> pandas DataFrame
+    (group_column, n_approx int64), sorted by group.
+
+    Shape: per-batch dense registers per group, emitted SPARSE (only
+    non-zero registers, pre-maxed within the batch) -> one
+    groupby(register-shard) exchange, pandas-C max-merge per shard ->
+    <= groups x 2^p tiny rows to the driver for the final estimate.
+    The estimate itself is deterministic: max is order-free.
+    """
+    from tiny_lingua_ray.models.train import fnv1a_64_batch
+
+    P = num_shards
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "g": b.column(group_column).to_pandas(),
+                "v": b.column(value_column).to_pandas().astype(str),
+            }
+        )
+        outs = []
+        for g, sub in df.groupby("g", sort=False):
+            h = fnv1a_64_batch(sub["v"].tolist())
+            regs = _registers(h, p)
+            nz = np.nonzero(regs)[0]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "g": g,
+                        "idx": nz.astype(np.int64),
+                        "reg": regs[nz].astype(np.int64),
+                    }
+                )
+            )
+        if not outs:  # typed empty: group dtype follows the source column
+            return pd.DataFrame(
+                {
+                    "g": df["g"],
+                    "idx": pd.Series(dtype="int64"),
+                    "reg": pd.Series(dtype="int64"),
+                    "shard": pd.Series(dtype="int64"),
+                }
+            )
+        out = pd.concat(outs, ignore_index=True)
+        out["shard"] = out["idx"].to_numpy() % P
+        return out
+
+    def max_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["g", "idx"], as_index=False)["reg"].max()
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("shard")
+        .map_groups(max_in_shard, batch_format="pandas")
+        .to_pandas()  # <= groups x 2^p rows, pre-reduced
+    )
+    rows = []
+    for g, sub in merged.groupby("g"):
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        regs[sub["idx"].to_numpy()] = sub["reg"].to_numpy().astype(np.uint8)
+        rows.append((g, int(round(hll_estimate(regs)))))
+    return pd.DataFrame(rows, columns=[group_column, "n_approx"]).sort_values(
+        group_column, ignore_index=True
+    )
