@@ -156,10 +156,9 @@ def q_dedup_clusters(sf_dir: str):
     # huge at scale — never one Ray group per cluster)
     P = 16
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["shard"] = df["label"].to_numpy() % P
-        return df
+    def tag(b: pa.Table) -> pa.Table:
+        lab = b.column("label").to_numpy(zero_copy_only=False)
+        return b.append_column("shard", pa.array(lab % P))
 
     empty = pd.DataFrame(
         {"cluster_id": pd.Series(dtype="int64"),
@@ -173,7 +172,7 @@ def q_dedup_clusters(sf_dir: str):
         return g.rename(columns={"label": "cluster_id", "size": "n_docs"})
 
     return (
-        labels.map_batches(tag, batch_format="pandas")
+        labels.map_batches(tag, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(sizes, batch_format="pandas")
     )

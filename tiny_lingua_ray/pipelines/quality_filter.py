@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -434,9 +435,15 @@ def run_quality_filter(
         shutil.rmtree(out, ignore_errors=True)
     clear_incomplete_partition_data(out, cfg.num_partitions, lineage)
 
-    ds = rd.read_parquet(str(input_path)).map_batches(
-        # strip pandas-written schema metadata: pyarrow 16 can't hash it,
-        # which defeats Ray's schema dedup downstream (see queries._read)
+    read_kwargs = {}
+    if os.path.isfile(str(input_path)):
+        # strip pandas-written schema metadata AT THE READ: pyarrow 16
+        # can't hash it, which defeats Ray's schema dedup downstream and
+        # spams warnings from inside the read task (see queries._read)
+        import pyarrow.parquet as _pq
+
+        read_kwargs["schema"] = _pq.read_schema(str(input_path)).remove_metadata()
+    ds = rd.read_parquet(str(input_path), **read_kwargs).map_batches(
         lambda t: t.replace_schema_metadata(None),
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -38,12 +38,22 @@ def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
     kwargs = {}
     if num_blocks:
         kwargs["override_num_blocks"] = num_blocks
-    ds = rd.read_parquet(path, columns=columns, **kwargs)
     # The driver testdata was written by pandas, so every file schema
     # carries the b'pandas' metadata blob — which pyarrow 16 cannot hash,
     # defeating Ray's schema dedup in EVERY downstream unify/shuffle
-    # ("Failed to hash the schemas" spam + slow full unifies).  Strip it
-    # once at the read; zero-copy and fused with the read stage.
+    # ("Failed to hash the schemas" spam + slow full unifies).  Passing a
+    # metadata-stripped schema to the READ kills it inside the read task
+    # itself (the post-read strip alone still warned during SplitBlocks);
+    # the fused zero-copy strip stays for directory inputs.
+    if os.path.isfile(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        s = pq.read_schema(path).remove_metadata()
+        if columns:  # the reader wants the schema of the SELECTED columns
+            s = pa.schema([s.field(c) for c in columns])
+        kwargs["schema"] = s
+    ds = rd.read_parquet(path, columns=columns, **kwargs)
     return ds.map_batches(
         lambda t: t.replace_schema_metadata(None),
         batch_format="pyarrow",
@@ -195,7 +205,7 @@ def q_distinct_users_per_event(sf_dir: str):
         g = d.groupby("event_type", as_index=False).agg(
             n_users=("user_id", "size")
         )
-        return g
+        return _from_df(g, preserve_index=False)  # crosses the final shuffle
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
     return (
@@ -639,10 +649,10 @@ def jaccard_pairs_dataset(sf_dir: str):
             }
         )
 
-    empty_flat = pd.DataFrame(
-        {"shard2": pd.Series(dtype="int64"),
-         "pair_key": pd.Series(dtype="uint64"),
-         "sh": pd.Series(dtype="uint64")}
+    empty_flat = pa.table(
+        {"shard2": pa.array([], pa.int64()),
+         "pair_key": pa.array([], pa.uint64()),
+         "sh": pa.array([], pa.uint64())}
     )
 
     def shingle_join(df: pd.DataFrame) -> pd.DataFrame:
@@ -670,11 +680,13 @@ def jaccard_pairs_dataset(sf_dir: str):
         if not sh_parts:
             return empty_flat
         pk_all = np.concatenate(pk_parts)
-        return pd.DataFrame(
+        # arrow out: this output crosses the shard2 shuffle, and Ray's
+        # pandas->arrow conversion there reattaches unhashable metadata
+        return pa.table(
             {
-                "shard2": (pk_all % np.uint64(P)).astype(np.int64),
-                "pair_key": pk_all,
-                "sh": np.concatenate(sh_parts),
+                "shard2": pa.array((pk_all % np.uint64(P)).astype(np.int64)),
+                "pair_key": pa.array(pk_all, pa.uint64()),
+                "sh": pa.array(np.concatenate(sh_parts), pa.uint64()),
             }
         )
 

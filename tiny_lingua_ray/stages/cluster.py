@@ -223,15 +223,25 @@ def connected_components(
     )
 
 
-def _tag_nodes(df: pd.DataFrame, P: int) -> pd.DataFrame:
+_EMPTY_TAGGED = pa.table(
+    {"shard": pa.array([], pa.int64()),
+     "node": pa.array([], pa.int64()),
+     "label": pa.array([], pa.int64())}
+)
+
+
+def _tag_nodes(df: pd.DataFrame, P: int) -> pa.Table:
+    """Returns ARROW (not pandas): this is the last stage before every
+    label shuffle, and Ray's pandas->arrow conversion at shuffle time
+    reattaches the unhashable b'pandas' schema metadata (see
+    tableutil.from_df)."""
     if len(df) == 0:
-        out = _EMPTY_LABELS.copy()
-        out["shard"] = pd.Series(dtype="int64")
-        return out[["shard", "node", "label"]]
-    return pd.DataFrame(
+        return _EMPTY_TAGGED
+    node = df["node"].to_numpy().astype(np.int64)
+    return pa.table(
         {
-            "shard": df["node"].to_numpy() % P,
-            "node": df["node"].to_numpy(),
-            "label": df["label"].to_numpy(),
+            "shard": pa.array(node % P),
+            "node": pa.array(node),
+            "label": pa.array(df["label"].to_numpy().astype(np.int64)),
         }
     )

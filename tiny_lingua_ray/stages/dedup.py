@@ -253,14 +253,18 @@ def _pairs_in_partition(df, id_column: str = "doc_id"):
             continue
         ii, jj = _tri_template(int(m))
         key_parts.append((ids[s0 + ii] << np.uint64(32)) | ids[s0 + jj])
+    # arrow out: this output crosses the pair-merge shuffle, and Ray's
+    # pandas->arrow conversion there reattaches unhashable b'pandas'
+    # schema metadata (tableutil.from_df rationale)
     if not key_parts:
-        return pd.DataFrame(
-            {"pair_key": pd.Series(dtype="uint64"),
-             "n": pd.Series(dtype="int64")}
+        return pa.table(
+            {"pair_key": pa.array([], pa.uint64()),
+             "n": pa.array([], pa.int64())}
         )
     s = pd.Series(np.concatenate(key_parts), dtype="uint64").value_counts()
-    return pd.DataFrame(
-        {"pair_key": s.index.to_numpy(), "n": s.to_numpy().astype("int64")}
+    return pa.table(
+        {"pair_key": pa.array(s.index.to_numpy(), pa.uint64()),
+         "n": pa.array(s.to_numpy().astype(np.int64))}
     )
 
 

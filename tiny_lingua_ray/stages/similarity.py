@@ -376,14 +376,16 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95,
                 "(%d rows dropped from pairing in this group)",
                 capped, max_bucket, dropped,
             )
+        # arrow out: crosses the pair-dedup shuffle (tableutil.from_df
+        # rationale — pandas blocks reattach unhashable metadata there)
         if not keys:
-            return pd.DataFrame(
-                {"pair_key": pd.Series(dtype="uint64"),
-                 "cosine": pd.Series(dtype="float64")}
+            return pa.table(
+                {"pair_key": pa.array([], pa.uint64()),
+                 "cosine": pa.array([], pa.float64())}
             )
-        return pd.DataFrame(
-            {"pair_key": np.concatenate(keys),
-             "cosine": np.concatenate(cosines)}
+        return pa.table(
+            {"pair_key": pa.array(np.concatenate(keys), pa.uint64()),
+             "cosine": pa.array(np.concatenate(cosines), pa.float64())}
         )
 
     candidates = (

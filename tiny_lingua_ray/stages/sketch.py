@@ -92,39 +92,42 @@ def approx_distinct_by_group(
 
     P = num_shards
 
-    def partial(b: pa.Table) -> pd.DataFrame:
+    def partial(b: pa.Table) -> pa.Table:
+        # arrow out: crosses the register-shard shuffle (tableutil.from_df
+        # rationale — pandas blocks reattach unhashable metadata there)
         df = pd.DataFrame(
             {
                 "g": b.column(group_column).to_pandas(),
                 "v": b.column(value_column).to_pandas().astype(str),
             }
         )
-        outs = []
+        g_col, idx_col, reg_col = [], [], []
         for g, sub in df.groupby("g", sort=False):
             h = fnv1a_64_batch(sub["v"].tolist())
             regs = _registers(h, p)
             nz = np.nonzero(regs)[0]
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "g": g,
-                        "idx": nz.astype(np.int64),
-                        "reg": regs[nz].astype(np.int64),
-                    }
-                )
-            )
-        if not outs:  # typed empty: group dtype follows the source column
-            return pd.DataFrame(
+            g_col.extend([g] * len(nz))
+            idx_col.append(nz.astype(np.int64))
+            reg_col.append(regs[nz].astype(np.int64))
+        gtype = b.schema.field(group_column).type
+        if not g_col:
+            return pa.table(
                 {
-                    "g": df["g"],
-                    "idx": pd.Series(dtype="int64"),
-                    "reg": pd.Series(dtype="int64"),
-                    "shard": pd.Series(dtype="int64"),
+                    "g": pa.array([], gtype),
+                    "idx": pa.array([], pa.int64()),
+                    "reg": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
                 }
             )
-        out = pd.concat(outs, ignore_index=True)
-        out["shard"] = out["idx"].to_numpy() % P
-        return out
+        idx = np.concatenate(idx_col)
+        return pa.table(
+            {
+                "g": pa.array(g_col, gtype),
+                "idx": pa.array(idx),
+                "reg": pa.array(np.concatenate(reg_col)),
+                "shard": pa.array(idx % P),
+            }
+        )
 
     def max_in_shard(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["g", "idx"], as_index=False)["reg"].max()
