@@ -26,7 +26,9 @@ def ddb():
     return con
 
 
-@pytest.mark.parametrize("key", ["tfidf_top_terms", "dedup_clusters"])
+@pytest.mark.parametrize(
+    "key", ["tfidf_top_terms", "dedup_clusters", "simhash_pairs"]
+)
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES
 

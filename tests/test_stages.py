@@ -106,6 +106,38 @@ def test_simhash_near_dup_hamming():
     assert ham_ab < ham_ac
 
 
+def test_simhash_pairs_complete_vs_bruteforce(ray_session):
+    """Banding completeness: the 4x16-band operator (fnv production
+    scheme) must return EXACTLY the pairs a brute-force popcount over all
+    simhashes finds at hamming <= 3 — pigeonhole guarantees no recall
+    loss below the band count."""
+    import itertools
+
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.dedup import simhash64, simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    texts = [base, base + "x", base + "yy", "totally different content here " * 5,
+             "another unrelated document about ray data pipelines " * 3,
+             base.replace("quick", "rapid"), ""]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    got = (
+        simhash_near_dup_pairs(rd.from_items(rows), max_hamming=3)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    sims = [simhash64(t) for t in texts]
+    want = sorted(
+        (i, j, bin(sims[i] ^ sims[j]).count("1"))
+        for i, j in itertools.combinations(range(len(texts)), 2)
+        if bin(sims[i] ^ sims[j]).count("1") <= 3
+    )
+    assert [tuple(r) for r in got.to_numpy()] == want
+    assert len(want) >= 1  # the perturbed copies must actually collide
+
+
 def test_jaccard():
     from tiny_lingua_ray.stages.dedup import jaccard
 

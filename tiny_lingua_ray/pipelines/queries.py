@@ -581,6 +581,17 @@ def q_simhash(sf_dir: str):
     )
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 3) via 4x16-bit pigeonhole
+    banding, md5-hash scheme so the SQL oracle (bit_count(xor) self-join
+    over the simhash CTE) verifies the WHOLE operator: banding is
+    provably complete for hamming < bands, so Ray == oracle exactly."""
+    from tiny_lingua_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32)
+    return simhash_near_dup_pairs(ds, max_hamming=3, scheme="md5")
+
+
 def q_fingerprint(sf_dir: str):
     from tiny_lingua_ray.stages.textstats import fingerprint_batch
 
@@ -1001,6 +1012,7 @@ QUERIES = {
     "corpus_prep": q_corpus_prep,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "knn_cosine": q_knn_cosine,
@@ -1387,6 +1399,36 @@ def _minhash_oracle() -> str:
 
 
 ORACLE["simhash"] = _simhash_oracle()
+
+
+def _simhash_pairs_oracle() -> str:
+    """All doc pairs with SimHash Hamming distance <= 3 — the banded Ray
+    operator is provably complete for hamming < bands, so the exact
+    O(n^2) SQL self-join is a true oracle, not an approximation."""
+    return f"""
+        WITH {_SHINGLES_CTE},
+        bits AS (
+          SELECT doc_id, j,
+                 SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM (SELECT doc_id, h, unnest(range(0, 64)) AS j FROM hs)
+          GROUP BY doc_id, j),
+        sim AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN vote > 0
+                          THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT)
+                          ELSE 0 END) AS UBIGINT) AS simhash
+          FROM bits GROUP BY doc_id),
+        sim2 AS (
+          SELECT d.doc_id, COALESCE(sim.simhash, 0) AS simhash
+          FROM d LEFT JOIN sim ON d.doc_id = sim.doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sim2 a JOIN sim2 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+ORACLE["simhash_pairs"] = _simhash_pairs_oracle()
 ORACLE["minhash_dedup"] = _minhash_oracle()
 
 # Extended join / window / split operators (round 2) — see relational_ext.py

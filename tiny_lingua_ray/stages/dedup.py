@@ -452,3 +452,166 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
         )
 
     return merged.map_batches(unpack, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate pairs (Hamming-ball LSH)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BANDS = 4  # 16 bits each
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR), uint64 in -> int64 out."""
+    v = v.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        v -= (v >> np.uint64(1)) & np.uint64(0x5555555555555555)
+        v = (v & np.uint64(0x3333333333333333)) + (
+            (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v *= np.uint64(0x0101010101010101)
+    return (v >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_near_dup_pairs(
+    ds,
+    max_hamming: int = 3,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    scheme: str = "fnv",
+):
+    """(id_a, id_b, hamming) pairs with SimHash Hamming distance <=
+    ``max_hamming`` — the constant-space near-dup family (one uint64 per
+    doc rides the shuffle, vs MinHash's 64 values).
+
+    Pigeonhole banding: the 64-bit simhash splits into 4 x 16-bit bands;
+    hamming <= 3 guarantees at least one band is IDENTICAL, so grouping
+    on (band, band_value) catches every qualifying pair.  Requires
+    ``max_hamming < _SIMHASH_BANDS`` (asserted).
+
+    Shape (same skeleton as minhash_lsh_candidates): per-doc simhash ->
+    explode 4 band rows carrying the full hash -> ONE coarse-group
+    shuffle ("bucket the buckets", NUM_BUCKET_GROUPS groups) -> in-group
+    triangular pairing per exact (band, bucket) segment with the
+    MAX_BUCKET hot-bucket cap (logged drops) and an IMMEDIATE vectorized
+    popcount verify (both hashes are in the group — no second lookup
+    exchange) -> pair-key-sharded dedup (a pair can collide in several
+    bands).  ``scheme="md5"`` makes the whole operator SQL-verifiable via
+    the simhash oracle + bit_count(xor) self-join.
+    """
+    assert max_hamming < 16 * (_SIMHASH_BANDS - 1) and max_hamming < _SIMHASH_BANDS, (
+        "banding guarantee requires max_hamming < number of bands"
+    )
+    import pandas as pd
+
+    sigs = ds.map_batches(
+        simhash_batch,
+        fn_kwargs={"text_column": text_column, "id_column": id_column,
+                   "scheme": scheme},
+        batch_format="pyarrow",
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column(id_column).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(ids) and int(ids.max()) >= (1 << 32):
+            raise ValueError(
+                f"{id_column} >= 2^32 cannot be packed into a 64-bit pair key"
+            )
+        sh = b.column("simhash").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        n = len(ids)
+        band = np.tile(np.arange(_SIMHASH_BANDS, dtype=np.int64), n)
+        rid = np.repeat(ids, _SIMHASH_BANDS)
+        rsh = np.repeat(sh, _SIMHASH_BANDS)
+        bucket = (rsh >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(
+            0xFFFF
+        )
+        gkey = (
+            (bucket ^ (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+            % np.uint64(NUM_BUCKET_GROUPS)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "gkey": pa.array(gkey),
+                "band": pa.array(band),
+                "bucket": pa.array(bucket.astype(np.int64)),
+                id_column: pa.array(rid),
+                "simhash": pa.array(rsh, pa.uint64()),
+            }
+        )
+
+    empty_pairs = pa.table(
+        {"pair_key": pa.array([], pa.uint64()),
+         "hamming": pa.array([], pa.int64()),
+         "shard": pa.array([], pa.int64())}
+    )
+
+    def pairs_in_group(df: pd.DataFrame) -> pa.Table:
+        import logging
+
+        u = df[["band", "bucket", id_column, "simhash"]].drop_duplicates(
+            ["band", "bucket", id_column]
+        )
+        u = u.sort_values(["band", "bucket", id_column], kind="stable")
+        pos = u.groupby(["band", "bucket"], sort=False).cumcount().to_numpy()
+        over = pos >= MAX_BUCKET
+        if over.any():
+            capped = u[over].groupby(["band", "bucket"], sort=False).size()
+            logging.getLogger(__name__).warning(
+                "simhash-lsh: capped %d hot bucket(s) at %d members "
+                "(%d doc ids dropped from pairing in this group)",
+                len(capped), MAX_BUCKET, int(capped.sum()),
+            )
+            u, pos = u[~over], pos[~over]
+        ids = u[id_column].to_numpy().astype(np.uint64)
+        hashes = u["simhash"].to_numpy().astype(np.uint64)
+        starts = np.flatnonzero(pos == 0)
+        sizes = np.diff(np.append(starts, len(ids)))
+        key_parts, hd_parts = [], []
+        for s0, m in zip(starts, sizes):
+            if m < 2:
+                continue
+            ii, jj = _tri_template(int(m))
+            hd = _popcount64(hashes[s0 + ii] ^ hashes[s0 + jj])
+            ok = hd <= max_hamming
+            if not ok.any():
+                continue
+            key_parts.append(
+                (ids[s0 + ii[ok]] << np.uint64(32)) | ids[s0 + jj[ok]]
+            )
+            hd_parts.append(hd[ok])
+        if not key_parts:
+            return empty_pairs
+        pk = np.concatenate(key_parts)
+        return pa.table(
+            {
+                "pair_key": pa.array(pk, pa.uint64()),
+                "hamming": pa.array(np.concatenate(hd_parts)),
+                "shard": pa.array((pk % np.uint64(16)).astype(np.int64)),
+            }
+        )
+
+    def dedup_shard(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates("pair_key")
+        k = g["pair_key"].to_numpy().astype(np.uint64)
+        return pa.table(
+            {
+                "id_a": pa.array((k >> np.uint64(32)).astype(np.int64)),
+                "id_b": pa.array(
+                    (k & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
+                "hamming": pa.array(g["hamming"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby("gkey")
+        .map_groups(pairs_in_group, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(dedup_shard, batch_format="pandas")
+    )
