@@ -27,7 +27,8 @@ def ddb():
 
 
 @pytest.mark.parametrize(
-    "key", ["tfidf_top_terms", "dedup_clusters", "simhash_pairs"]
+    "key",
+    ["tfidf_top_terms", "dedup_clusters", "dedup_keep_first", "simhash_pairs"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES

@@ -178,6 +178,82 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+def q_dedup_keep_first(sf_dir: str):
+    """The ACTIONABLE dedup composite: materialize the deduped corpus.
+    Jaccard>=0.8 verified pairs -> connected components -> drop every
+    clustered doc except its representative (min doc_id in the
+    component); isolated docs survive untouched.  This is the operator a
+    training-data pipeline actually runs — pair/cluster queries are its
+    diagnostics.
+
+    Scale shape: only the VICTIM set (clustered non-representatives,
+    label < node) leaves the component stage — 8 B/row — and meets the
+    corpus in ONE tagged-union cogroup on ``doc_id % P`` (the anti-join
+    idiom, relational_ext.q_anti_join_inactive_customers).  No broadcast:
+    on boilerplate-heavy web text victims can be half the corpus.  Kept
+    rows carry (doc_id, lang) only; a real pipeline would semi-join text
+    back where it lives rather than shipping it through the anti-join."""
+    from tiny_lingua_ray.pipelines.queries import jaccard_pairs_dataset
+    from tiny_lingua_ray.stages.cluster import connected_components
+
+    P = 32
+    labels = connected_components(jaccard_pairs_dataset(sf_dir))
+
+    def prep_victims(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        lab = b.column("label").to_numpy(zero_copy_only=False)
+        v = node[lab < node].astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(v % P),
+                "key": pa.array(v),
+                "lang": pa.nulls(len(v), pa.string()),
+                "side": pa.array(np.ones(len(v), dtype=np.int8)),
+            }
+        )
+
+    def prep_docs(b: pa.Table) -> pa.Table:
+        key = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "shard": pa.array(key % P),
+                "key": pa.array(key),
+                "lang": b.column("lang"),
+                "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            }
+        )
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "lang": pa.array([], pa.string())}
+    )
+
+    def anti_in_shard(df: pd.DataFrame) -> pa.Table:
+        docs = df[df["side"] == 0]
+        victims = df.loc[df["side"] == 1, "key"]
+        keep = docs[~docs["key"].isin(victims)]
+        if len(keep) == 0:
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(keep["key"].to_numpy(dtype=np.int64)),
+                "lang": pa.array(keep["lang"].tolist(), pa.string()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        prep_docs, batch_format="pyarrow"
+    )
+    victims = labels.map_batches(prep_victims, batch_format="pyarrow")
+    return (
+        docs.union(victims)
+        .groupby("shard")
+        .map_groups(anti_in_shard, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog approximate distinct users per event type
 # ---------------------------------------------------------------------------
@@ -214,9 +290,32 @@ def _dedup_clusters_oracle(jaccard_pairs_sql: str) -> str:
     """
 
 
+def _dedup_keep_first_oracle(jaccard_pairs_sql: str) -> str:
+    """Composed from the verified jaccard_pairs oracle: close over the
+    pair set, victims are nodes with a smaller reachable id, keep the
+    complement of the victim set."""
+    return f"""
+        WITH RECURSIVE pairs AS ({jaccard_pairs_sql}),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        victims AS (
+          SELECT u AS node FROM reach GROUP BY u HAVING MIN(v) < u)
+        SELECT d.doc_id, d.lang
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT node FROM victims)
+    """
+
+
 QUERIES_CORPUS = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_first": q_dedup_keep_first,
     "approx_distinct_users": q_approx_distinct_users,
 }
 

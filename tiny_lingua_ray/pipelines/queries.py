@@ -1445,8 +1445,10 @@ from tiny_lingua_ray.pipelines.corpus_ext import (  # noqa: E402
     ORACLE_CORPUS,
     QUERIES_CORPUS,
     _dedup_clusters_oracle,
+    _dedup_keep_first_oracle,
 )
 
 QUERIES.update(QUERIES_CORPUS)
 ORACLE.update(ORACLE_CORPUS)
 ORACLE["dedup_clusters"] = _dedup_clusters_oracle(ORACLE["jaccard_pairs"])
+ORACLE["dedup_keep_first"] = _dedup_keep_first_oracle(ORACLE["jaccard_pairs"])
