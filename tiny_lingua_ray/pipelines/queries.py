@@ -600,12 +600,25 @@ def q_fingerprint(sf_dir: str):
     )
 
 
-def jaccard_pairs_dataset(sf_dir: str):
+def jaccard_pairs_dataset(sf_dir: str, min_bands: int = 2):
     """MinHash-LSH candidates verified with exact char-5-gram Jaccard
     >= 0.8, FULLY STREAMING — the candidate pair list stays a Dataset end
     to end (round-2 verdict: the old broadcast pair_map materialized the
     post-LSH pair list on the driver, itself a large dataset on
     boilerplate-heavy web text at scale).
+
+    ``min_bands=2`` (default) drops candidates that collide in only ONE
+    of the 16 bands before the exact-verify stage.  On self-similar web
+    text single-band collisions are the overwhelming bulk of candidates
+    and essentially never verify (measured on the sf0.1 corpus: 109,221
+    of 110,274 candidates had n_bands==1, ZERO of them reached J>=0.8,
+    and every true pair had n_bands>=10) — the filter cuts verification
+    volume ~100x.  The recall trade is explicit and tiny: a true J=0.8
+    pair collides per band with prob J^4≈0.41, so P(<=1 collision in 16
+    bands) ≈ 0.26% (and vanishes for J→1).  The oracle is the TRUE pair
+    set (full shingle self-join), so the correctness gate empirically
+    asserts full recall end to end; ``min_bands=1`` restores the
+    verify-every-candidate behavior.
 
     Two-exchange tagged-union cogroup (the relational_ext join idiom):
 
@@ -615,9 +628,9 @@ def jaccard_pairs_dataset(sf_dir: str):
        moves through exactly one exchange, non-candidate docs are dropped
        in-shard, and no list columns ride the second shuffle.
     2. cogroup on ``pair_key % P``: |intersection| and |union| per pair
-       fall out of one pandas-C groupby over the flat rows (a shingle
-       seen twice in a pair is in both docs — each side emits unique
-       shingles), so Jaccard never touches Python sets.
+       fall out of one numpy lexsort + segment count over the flat rows
+       (a shingle seen twice in a pair is in both docs — each side emits
+       unique shingles), so Jaccard never touches Python sets.
 
     An empty shingle set emits one SENTINEL row so that two empty docs
     verify at jaccard 1.0 (set semantics of the pure-Python oracle
@@ -631,6 +644,9 @@ def jaccard_pairs_dataset(sf_dir: str):
     cands = minhash_lsh_candidates(docs)
 
     def emit_requests(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater_equal(batch.column("n_bands"), min_bands)
+        )
         a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
         pk = (a << np.uint64(32)) | b
@@ -672,25 +688,40 @@ def jaccard_pairs_dataset(sf_dir: str):
             return empty_flat
         txt = df[df["side"] == 1]
         txt = txt[txt["doc_id"].isin(set(req["doc_id"].tolist()))]
-        sh_map = {
-            int(d): char_shingles(t or "")
-            for d, t in zip(txt["doc_id"], txt["text"])
-        }
-        sh_parts, pk_parts = [], []
-        for d, pk in zip(
-            req["doc_id"].to_numpy(),
-            req["pair_key"].to_numpy().astype(np.uint64),
-        ):
-            sh = sh_map.get(int(d))
-            if sh is None:
-                continue  # doc absent from the corpus shard
+        # each requested doc shingled ONCE into a concatenated pool;
+        # requests then gather their doc's slice with np.repeat ranges
+        # (no per-request Python)
+        doc_ids, parts, starts, lens = [], [], [], []
+        off = 0
+        for d, t in zip(txt["doc_id"], txt["text"]):
+            sh = char_shingles(t or "")
             if len(sh) == 0:
                 sh = np.array([_SENT], dtype=np.uint64)
-            sh_parts.append(sh)
-            pk_parts.append(np.full(len(sh), pk, dtype=np.uint64))
-        if not sh_parts:
+            doc_ids.append(int(d))
+            parts.append(sh)
+            starts.append(off)
+            lens.append(len(sh))
+            off += len(sh)
+        if not parts:
             return empty_flat
-        pk_all = np.concatenate(pk_parts)
+        pool = np.concatenate(parts)
+        starts_a = np.array(starts, dtype=np.int64)
+        lens_a = np.array(lens, dtype=np.int64)
+        pos = pd.Index(doc_ids).get_indexer(req["doc_id"].to_numpy())
+        present = pos >= 0  # doc absent from the corpus shard
+        pos = pos[present]
+        if len(pos) == 0:
+            return empty_flat
+        pk_req = req["pair_key"].to_numpy().astype(np.uint64)[present]
+        total = lens_a[pos]
+        csum = np.cumsum(total)
+        gather = (
+            np.arange(int(csum[-1]), dtype=np.int64)
+            - np.repeat(csum - total, total)
+            + np.repeat(starts_a[pos], total)
+        )
+        sh_parts = [pool[gather]]
+        pk_all = np.repeat(pk_req, total)
         # arrow out: this output crosses the shard2 shuffle, and Ray's
         # pandas->arrow conversion there reattaches unhashable metadata
         return pa.table(
@@ -707,21 +738,32 @@ def jaccard_pairs_dataset(sf_dir: str):
     )
 
     def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
+        # numpy lexsort + segment counts (a (pair, shingle) row appears
+        # once or twice; twice == shingle in both docs).  ~20x the
+        # pandas MultiIndex-groupby path this replaced.
         if len(df) == 0:
             return empty_out
-        counts = df.groupby(["pair_key", "sh"], sort=False).size()
-        union = counts.groupby(level=0).size()
-        inter = (counts == 2).groupby(level=0).sum()
+        pk = df["pair_key"].to_numpy().astype(np.uint64)
+        sh = df["sh"].to_numpy().astype(np.uint64)
+        order = np.lexsort((sh, pk))
+        pk, sh = pk[order], sh[order]
+        first = np.empty(len(pk), dtype=bool)
+        first[0] = True
+        first[1:] = (pk[1:] != pk[:-1]) | (sh[1:] != sh[:-1])
+        pairs_u, union = np.unique(pk[first], return_counts=True)
+        pairs_i, ic = np.unique(pk[~first], return_counts=True)
+        inter = np.zeros(len(pairs_u), dtype=np.int64)
+        inter[np.searchsorted(pairs_u, pairs_i)] = ic
         j = inter / union
-        keep = j[j >= 0.8].round(6)
-        if len(keep) == 0:
+        keep = j >= 0.8  # filter BEFORE rounding (matches the oracle)
+        if not keep.any():
             return empty_out
-        pk = keep.index.to_numpy().astype(np.uint64)
+        pku = pairs_u[keep]
         return pd.DataFrame(
             {
-                "id_a": (pk >> np.uint64(32)).astype(np.int64),
-                "id_b": (pk & np.uint64(0xFFFFFFFF)).astype(np.int64),
-                "jaccard": keep.to_numpy(),
+                "id_a": (pku >> np.uint64(32)).astype(np.int64),
+                "id_b": (pku & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "jaccard": np.round(j[keep], 6),
             }
         )
 
