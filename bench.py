@@ -37,6 +37,8 @@ BENCH_QUERIES = (
     "exact_dedup",
     "minhash_dedup",
     "simhash",
+    "simhash_pairs",
+    "dedup_keep_first",
     "token_counts",
     "knn_cosine",
     "order_lineitem_band_join",

@@ -23,6 +23,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 EXT_KEYS = (
     "anti_join_inactive_customers",
+    "rollup_pricing",
+    "running_total",
     "event_gaps",
     "stratified_sample",
     "range_join_size_buckets",

@@ -793,6 +793,21 @@ def q_jaccard_pairs(sf_dir: str):
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Spherical k-means corpus clustering (the SemDeDup/curation
+    primitive): fit on a bounded sample, assign streaming with broadcast
+    centroids.  Deterministic (fixed seed + deterministic sample order)
+    but iterative/model-based — no SQL oracle by design; exact parity
+    with a driver-side numpy reference is pinned in
+    tests/test_similarity.py."""
+    from tiny_lingua_ray.stages.similarity import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = kmeans_assign(ds, n_clusters=8).to_pandas()
+    out["cosine_to_centroid"] = out["cosine_to_centroid"].round(6)
+    return out.sort_values("vec_id", ignore_index=True)
+
+
 def q_knn_cosine(sf_dir: str):
     from tiny_lingua_ray.stages.similarity import knn_brute_force
 
@@ -1057,6 +1072,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
+    "kmeans_clusters": q_kmeans_clusters,
     "knn_cosine": q_knn_cosine,
     "knn_cosine_ivf": q_knn_cosine_ivf,
     "embedding_label_stats": q_embedding_label_stats,

@@ -852,8 +852,107 @@ def q_event_gaps(sf_dir: str):
     )
 
 
+def q_running_total(sf_dir: str):
+    """Per-user running total of event value (the cumulative-SUM window
+    shape, complementing q_event_gaps' LAG): ONE cogroup exchange on
+    ``user_id % P`` so a shard holds every event of its users, then one
+    pandas-C sort + groupby-cumsum per shard.  Per-row output (as the
+    window function emits) — at scale this streams back out block by
+    block, never through the driver."""
+    P = 16
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": pc.cast(pc.bit_wise_and(uid, P - 1), pa.int64()),
+                "user_id": uid,
+                "ts_us": _ts_us(b.column("ts")),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                "value": pc.cast(b.column("value"), pa.float64()),
+            }
+        )
+
+    empty = pa.table(
+        {"event_id": pa.array([], pa.int64()),
+         "user_id": pa.array([], pa.int64()),
+         "ts_us": pa.array([], pa.int64()),
+         "cum_value": pa.array([], pa.float64())}
+    )
+
+    def cumsum_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        cum = df.groupby("user_id")["value"].cumsum()
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(dtype=np.int64)),
+                "user_id": pa.array(df["user_id"].to_numpy(dtype=np.int64)),
+                "ts_us": pa.array(df["ts_us"].to_numpy(dtype=np.int64)),
+                "cum_value": pa.array(np.round(cum.to_numpy(), 6)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(cumsum_in_shard, batch_format="pandas")
+    )
+
+
+def q_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) in ONE corpus pass:
+    each batch emits partials for all three grouping sets ('ALL'
+    sentinels for the rolled-up levels), so the rollup costs one small
+    groupby over <= 3x|groups| partial rows per block — never three
+    scans of the fact table."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            revenue=("l_extendedprice", "sum"),
+            n_rows=("l_extendedprice", "size"),
+        )
+        g1 = g.groupby("l_returnflag", as_index=False)[
+            ["revenue", "n_rows"]
+        ].sum()
+        g1["l_linestatus"] = "ALL"
+        g0 = pd.DataFrame(
+            {
+                "l_returnflag": ["ALL"],
+                "l_linestatus": ["ALL"],
+                "revenue": [g["revenue"].sum()],
+                "n_rows": [g["n_rows"].sum()],
+            }
+        )
+        cols = ["l_returnflag", "l_linestatus", "revenue", "n_rows"]
+        out = pd.concat([g[cols], g1[cols], g0[cols]], ignore_index=True)
+        return _from_df(out, preserve_index=False)
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out[["l_returnflag", "l_linestatus", "revenue", "n_rows"]]
+
+
 QUERIES_EXT = {
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
+    "rollup_pricing": q_rollup_pricing,
+    "running_total": q_running_total,
     "event_gaps": q_event_gaps,
     "range_join_size_buckets": q_range_join_size_buckets,
     "substring_filter": q_substring_filter,
@@ -887,6 +986,22 @@ _BUCKET_CASE = (
 )
 
 ORACLE_EXT = {
+    "running_total": """
+        SELECT event_id, user_id,
+               epoch_us(ts) AS ts_us,
+               ROUND(SUM(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+        FROM events
+    """,
+    "rollup_pricing": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
     "anti_join_inactive_customers": """
         SELECT c_mktsegment, COUNT(*) AS n_customers
         FROM customer

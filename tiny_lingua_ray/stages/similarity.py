@@ -420,3 +420,72 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95,
         .groupby("shard")
         .map_groups(dedup_shard, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means corpus clustering (the SemDeDup / curation primitive)
+# ---------------------------------------------------------------------------
+
+class KMeansAssign:
+    """map_batches fn: assign every row to its nearest unit centroid.
+
+    Centroids broadcast once via ray.put (fetched per actor in
+    ``__init__``, never per batch); assignment is one [rows, k] matmul.
+    """
+
+    def __init__(self, centroids_ref=None, centroids=None,
+                 id_column: str = "vec_id", vec_column: str = "embedding"):
+        if centroids_ref is not None:
+            import ray
+
+            centroids = ray.get(centroids_ref)
+        self.C = centroids
+        self.id_column = id_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _normalize(_as_matrix(batch.column(self.vec_column)))
+        sims = M @ self.C.T
+        a = sims.argmax(axis=1)
+        return pa.table(
+            {
+                self.id_column: batch.column(self.id_column),
+                "cluster": pa.array(a.astype(np.int64)),
+                "cosine_to_centroid": pa.array(
+                    sims[np.arange(len(a)), a]
+                ),
+            }
+        )
+
+
+def kmeans_assign(ds, n_clusters: int = 8, sample_size: int = 4096,
+                  n_iter: int = 10, id_column: str = "vec_id",
+                  vec_column: str = "embedding"):
+    """Cluster an embedding corpus: deterministic spherical k-means
+    (``_spherical_kmeans``, fixed seed) FIT on a bounded ``limit(sample)``
+    — the driver never holds more than ``sample_size`` rows — then every
+    row ASSIGNED streaming with broadcast centroids.  This is the
+    curation/semantic-dedup primitive (cluster -> per-cluster policies,
+    SemDeDup-style pruning); at 100 TB the fit stays O(sample x k) on the
+    driver and the assign stage is one matmul per batch with zero
+    shuffles.  Returns (id, cluster, cosine_to_centroid) per row."""
+    sample = ds.limit(sample_size).to_pandas()
+    C = _spherical_kmeans(
+        np.asarray(sample[vec_column].tolist(), dtype=np.float64), n_clusters,
+        n_iter=n_iter,
+    )
+    try:
+        import ray
+
+        cref = ray.put(C) if ray.is_initialized() else None
+    except ImportError:
+        cref = None
+    kwargs = {"centroids_ref": cref} if cref is not None else {"centroids": C}
+    return ds.map_batches(
+        KMeansAssign,
+        fn_constructor_kwargs={
+            **kwargs, "id_column": id_column, "vec_column": vec_column,
+        },
+        batch_format="pyarrow",
+        concurrency=cpu_pool(),
+    )
