@@ -116,3 +116,33 @@ def test_approx_distinct_users_close_to_exact(ray_session, ddb):
     assert list(got["event_type"]) == list(exact["event_type"])
     for e, a in zip(exact["n"], got["n_approx"]):
         assert abs(int(a) - int(e)) / max(int(e), 1) < 0.05, (e, a)
+
+
+def test_cms_heavy_hitters_bounds_and_agreement(ray_session):
+    """CMS guarantees: est >= true for every reported word, est - true
+    <= 2N/width (the Cormode-Muthukrishnan bound, deterministic here
+    because seeds are fixed), and the exact top-10 words all appear in
+    the sketch's top-20."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from tiny_lingua_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["approx_heavy_hitters"](SF_DIR)
+    exact: Counter = Counter()
+    for t in pq.read_table(f"{SF_DIR}/documents.parquet",
+                           columns=["text"]).column("text").to_pylist():
+        exact.update((t or "").lower().split(" "))
+    exact.pop("", None)
+    n_total = sum(exact.values())
+    bound = 2.0 * n_total / 16384
+    for w, est in zip(got["word"], got["est_count"]):
+        assert est >= exact[w], (w, est, exact[w])
+        assert est - exact[w] <= max(bound, 1), (w, est, exact[w], bound)
+    top10 = [w for w, _ in sorted(exact.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:10]]
+    assert set(top10) <= set(got["word"])
+    # determinism: fixed seeds + order-free merge -> identical rerun
+    again = QUERIES["approx_heavy_hitters"](SF_DIR)
+    assert got.equals(again)

@@ -270,6 +270,18 @@ def q_approx_distinct_users(sf_dir: str):
     return approx_distinct_by_group(ev, "event_type", "user_id", p=12)
 
 
+def q_approx_heavy_hitters(sf_dir: str):
+    """Count-Min-sketch approximate top-20 words — the constant-state
+    twin of word_freq_top20 (see stages/sketch.approx_heavy_hitters).
+    Deterministic (fixed seeds, order-free cellwise merge) but
+    approximate by construction — rows-only; over-count + error-bound +
+    exact-top-agreement pinned in tests/test_corpus_ext.py."""
+    from tiny_lingua_ray.stages.sketch import approx_heavy_hitters
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return approx_heavy_hitters(docs, k=20)
+
+
 def _dedup_clusters_oracle(jaccard_pairs_sql: str) -> str:
     """Composed by queries.py from its own jaccard_pairs oracle so the
     pair set being closed over is literally the verified one."""
@@ -317,6 +329,7 @@ QUERIES_CORPUS = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_first": q_dedup_keep_first,
     "approx_distinct_users": q_approx_distinct_users,
+    "approx_heavy_hitters": q_approx_heavy_hitters,
 }
 
 ORACLE_CORPUS = {

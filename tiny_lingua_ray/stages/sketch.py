@@ -146,3 +146,174 @@ def approx_distinct_by_group(
     return pd.DataFrame(rows, columns=[group_column, "n_approx"]).sort_values(
         group_column, ignore_index=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters (approximate top-k words)
+# ---------------------------------------------------------------------------
+
+# fixed depth seeds (splitmix64 of 1..4) — deterministic, no runtime state
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
+     0x94D049BB133111EB, 0x2545F4914F6CDD1D],
+    dtype=np.uint64,
+)
+
+
+def _cms_cell(base: np.ndarray, d: int, width: int) -> np.ndarray:
+    """Row-d cell index for a batch of base word hashes (uint64 in)."""
+    return (_mix64(base ^ _CMS_SEEDS[d]) % np.uint64(width)).astype(np.int64)
+
+
+def approx_heavy_hitters(
+    ds,
+    text_column: str = "text",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 16384,
+    cand_per_block: int = 64,
+    num_shards: int = 16,
+):
+    """Approximate corpus-wide top-k words: Count-Min sketch + local
+    candidates — the constant-state alternative to ``word_freq_top20``'s
+    exact word shuffle.
+
+    Per block: exact local counts, then (a) sparse CMS increments —
+    <= depth x min(distinct, width) (cell, count) rows — and (b) the
+    local top ``cand_per_block`` words as candidate rows.  ONE
+    groupby(shard) merges both: CMS cells sum cellwise (order-free, so
+    the merged sketch is deterministic) and candidates dedup.  The
+    driver then holds only the dense sketch (depth x width int64,
+    ~512 KB) plus <= blocks x cand_per_block candidate words, estimates
+    each candidate with the CMS min-over-rows, and keeps the top k by
+    (est, word).
+
+    Guarantees: est >= true count (CMS never undercounts), and
+    est - true <= 2N/width with prob >= 1 - 2^-depth per word (Cormode &
+    Muthukrishnan, J.Alg 2005).  A true global heavy hitter is a local
+    heavy hitter in at least one block (count >= N/blocks pigeonhole),
+    so the candidate union contains every word with global share >
+    blocks x cand-th local share; ``cand_per_block`` trades that recall
+    bound against driver memory — both caps logged, never silent.
+
+    Tokenization matches word_freq_top20 (lower + single-space split)
+    so the two are directly comparable."""
+    import logging
+
+    from tiny_lingua_ray.models.train import fnv1a_64
+
+    P = num_shards
+    D, W = depth, width
+
+    empty_partial = pa.table(
+        {"shard": pa.array([], pa.int64()),
+         "kind": pa.array([], pa.int8()),
+         "cell": pa.array([], pa.int64()),
+         "count": pa.array([], pa.int64()),
+         "word": pa.array([], pa.string())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column(text_column).to_pylist():
+            c.update((t or "").lower().split(" "))
+        c.pop("", None)
+        if not c:
+            return empty_partial
+        words = list(c.keys())
+        cnt = np.fromiter(c.values(), dtype=np.int64, count=len(words))
+        base = np.fromiter(
+            (fnv1a_64(w) for w in words), dtype=np.uint64, count=len(words)
+        )
+        # (a) sparse CMS increments, pre-summed per cell with bincount
+        cells_parts, count_parts = [], []
+        for d in range(D):
+            dense = np.bincount(
+                _cms_cell(base, d, W), weights=cnt, minlength=W
+            ).astype(np.int64)
+            nz = np.flatnonzero(dense)
+            cells_parts.append(d * W + nz)
+            count_parts.append(dense[nz])
+        cells = np.concatenate(cells_parts)
+        ccnt = np.concatenate(count_parts)
+        # (b) local top candidates (deterministic (count desc, word) order)
+        order = sorted(range(len(words)), key=lambda i: (-cnt[i], words[i]))
+        top = order[:cand_per_block]
+        n_cand = len(top)
+        return pa.table(
+            {
+                "shard": pa.array(
+                    np.concatenate(
+                        [cells % P,
+                         np.fromiter(
+                             (P + fnv1a_64(words[i]) % P for i in top),
+                             dtype=np.int64, count=n_cand,
+                         )]
+                    )
+                ),
+                "kind": pa.array(
+                    np.repeat(np.array([0, 1], dtype=np.int8),
+                              [len(cells), n_cand])
+                ),
+                "cell": pa.array(
+                    np.concatenate([cells, np.zeros(n_cand, dtype=np.int64)])
+                ),
+                "count": pa.array(
+                    np.concatenate([ccnt, cnt[top]])
+                ),
+                "word": pa.array(
+                    [None] * len(cells) + [words[i] for i in top],
+                    pa.string(),
+                ),
+            }
+        )
+
+    empty_merged = pd.DataFrame(
+        {"kind": pd.Series(dtype="int8"),
+         "cell": pd.Series(dtype="int64"),
+         "count": pd.Series(dtype="int64"),
+         "word": pd.Series(dtype="object")}
+    )
+
+    def merge_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty_merged
+        if int(df["kind"].iloc[0]) == 0:  # CMS cells: cellwise sum
+            g = df.groupby("cell", as_index=False)["count"].sum()
+            g["kind"] = np.int8(0)
+            g["word"] = None
+            return g[["kind", "cell", "count", "word"]]
+        u = df.drop_duplicates("word")  # candidates: dedup
+        return pd.DataFrame(
+            {"kind": np.int8(1), "cell": np.int64(0), "count": np.int64(0),
+             "word": u["word"].to_numpy()}
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(merge_shard, batch_format="pandas")
+        .to_pandas()  # <= depth*width cells + blocks*cand_per_block words
+    )
+    cms = np.zeros(D * W, dtype=np.int64)
+    cms_rows = merged[merged["kind"] == 0]
+    cms[cms_rows["cell"].to_numpy()] = cms_rows["count"].to_numpy()
+    cand = merged.loc[merged["kind"] == 1, "word"].tolist()
+    logging.getLogger(__name__).info(
+        "cms-heavy-hitters: %d candidate words, %d nonzero cells",
+        len(cand), len(cms_rows),
+    )
+    base = np.fromiter(
+        (fnv1a_64(w) for w in cand), dtype=np.uint64, count=len(cand)
+    )
+    est = np.min(
+        np.stack([cms[d * W + _cms_cell(base, d, W)] for d in range(D)]),
+        axis=0,
+    )
+    order = sorted(range(len(cand)), key=lambda i: (-est[i], cand[i]))[:k]
+    return pd.DataFrame(
+        {"word": [cand[i] for i in order],
+         "est_count": est[order].astype(np.int64)}
+    )
