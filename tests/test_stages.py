@@ -197,3 +197,42 @@ def test_fused_scorer_matches_standalone(small_models_dir):
     b = standalone.column("perplexity").to_pylist()
     for x, y in zip(a, b):
         assert (np.isnan(x) and np.isnan(y)) or x == pytest.approx(y)
+
+
+def test_multiformat_sources_identical(ray_session, tmp_path):
+    """CSV and JSONL reads of the same corpus produce batch-identical
+    Arrow to the Parquet read (sources/formats.py normalizes schema at
+    the read)."""
+    import pyarrow.parquet as pq
+
+    from tiny_lingua_ray.sources.formats import read_documents, write_documents
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    base = (
+        read_documents(src, fmt="parquet")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(base) == pq.read_metadata(src).num_rows
+    for fmt in ("csv", "jsonl"):
+        out = tmp_path / fmt
+        write_documents(read_documents(src, fmt="parquet"), str(out), fmt=fmt)
+        got = (
+            read_documents(str(out), fmt=fmt)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert got.equals(base), fmt
+
+
+def test_multiformat_missing_column_fails_loudly(ray_session, tmp_path):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from tiny_lingua_ray.sources.formats import read_documents
+
+    bad = tmp_path / "bad.csv"
+    pd.DataFrame({"doc_id": [1], "text": ["x"]}).to_csv(bad, index=False)
+    with pytest.raises(Exception, match="missing required column"):
+        read_documents(str(bad), fmt="csv").materialize()
