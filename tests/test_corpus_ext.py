@@ -40,10 +40,13 @@ def test_corpus_query_matches_oracle(ray_session, ddb, key):
     assert canonical_hash(got) == canonical_hash(want), key
 
 
-def test_connected_components_matches_union_find(ray_session):
+@pytest.mark.parametrize("driver_max_edges", [2_000_000, 0])
+def test_connected_components_matches_union_find(ray_session, driver_max_edges):
     """Min-label propagation vs a driver union-find on a graph with a
     long chain (worst case for propagation rounds), a clique, a separate
-    2-cycle pair, and self-contained singletons via self-loops."""
+    2-cycle pair, and self-contained singletons via self-loops.
+    Parameterized over BOTH code paths: the size-gated driver numpy
+    fast path (default gate) and the distributed loop (gate=0)."""
     import ray.data as rd
 
     from tiny_lingua_ray.stages.cluster import connected_components
@@ -56,7 +59,9 @@ def test_connected_components_matches_union_find(ray_session):
     )
     ds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
     got = (
-        connected_components(ds, num_shards=4)
+        connected_components(
+            ds, num_shards=4, driver_max_edges=driver_max_edges
+        )
         .to_pandas()
         .sort_values("node", ignore_index=True)
     )

@@ -54,6 +54,7 @@ def connected_components(
     id_b: str = "id_b",
     num_shards: int = 16,
     max_iters: int = 25,
+    driver_max_edges: int = 2_000_000,
 ):
     """(node int64, label int64) Dataset: label = min node id reachable.
 
@@ -61,6 +62,17 @@ def connected_components(
     appear in at least one edge are labeled (an isolated doc is its own
     trivial cluster — callers that want those rows add them back with a
     cheap union, avoiding a full-corpus pass here).
+
+    Size-gated driver fast path (same engineering as the broadcast-join
+    gate, relational_ext): the edge set after near-dup verification is
+    orders of magnitude smaller than the corpus, and each distributed
+    round costs ~10 Ray sub-operations of fixed overhead.  When the
+    symmetrized edge list is ``<= driver_max_edges`` (32 B/edge -> a
+    ~64 MB driver array at the default 2M), solve it in one vectorized
+    numpy pass instead of O(log d) distributed rounds; above the gate
+    (boilerplate-heavy web text CAN produce billions of pairs) the
+    distributed loop runs unchanged.  Both paths produce identical
+    labels (tests/test_corpus_ext.py parity test).
     """
     from ray.data.aggregate import Sum
 
@@ -81,6 +93,17 @@ def connected_components(
 
     # both propagation directions as (dst-sharded) rows, reused every round
     sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    if sym.count() <= 2 * driver_max_edges:  # sym holds both directions
+        import ray.data
+
+        t = sym.select_columns(["src", "dst"]).to_pandas()
+        nodes, labs = _driver_components(
+            t["src"].to_numpy(), t["dst"].to_numpy()
+        )
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes), "label": pa.array(labs)})
+        )
 
     def init_labels(b: pa.Table) -> pa.Table:
         n = np.unique(b.column("src").to_numpy(zero_copy_only=False))
@@ -221,6 +244,43 @@ def connected_components(
     return labels.map_batches(
         lambda b: b.drop_columns(["shard"]), batch_format="pyarrow"
     )
+
+
+def _driver_components(
+    src: np.ndarray, dst: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized min-label propagation on the driver.
+
+    ``(src, dst)`` must already contain both directions of every edge
+    (the symmetrized list).  Same algorithm and convergence rule as the
+    distributed loop: hop (min neighbor label via ``np.minimum.at``,
+    synchronous-gather semantics — ``lab[d]`` is read before the
+    in-place update), jump (``lab <- min(lab, lab[lab])``), stop when
+    the label sum stops decreasing.  At the fixpoint ``lab[u] <=
+    lab[v]`` across every directed edge, so labels are constant per
+    component, and they include the component min, so they equal it.
+    Returns (node ids, component-min label per node), both int64.
+    """
+    both = np.concatenate([src, dst])
+    nodes, inv = np.unique(both, return_inverse=True)
+    s = inv[: len(src)]
+    d = inv[len(src):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    prev = int(lab.sum())
+    for _ in range(64):
+        np.minimum.at(lab, s, lab[d])  # hop (both directions present)
+        lab = np.minimum(lab, lab[lab])  # pointer jump
+        cur = int(lab.sum())
+        if cur == prev:
+            break
+        prev = cur
+    # safety: flatten any residual pointer chains (no-op at fixpoint)
+    while True:
+        nl = lab[lab]
+        if np.array_equal(nl, lab):
+            break
+        lab = nl
+    return nodes.astype(np.int64), nodes[lab].astype(np.int64)
 
 
 _EMPTY_TAGGED = pa.table(
