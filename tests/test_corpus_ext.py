@@ -28,7 +28,8 @@ def ddb():
 
 @pytest.mark.parametrize(
     "key",
-    ["tfidf_top_terms", "dedup_clusters", "dedup_keep_first", "simhash_pairs"],
+    ["tfidf_top_terms", "dedup_clusters", "dedup_keep_first", "simhash_pairs",
+     "repetition_signals"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES
@@ -151,3 +152,33 @@ def test_cms_heavy_hitters_bounds_and_agreement(ray_session):
     # determinism: fixed seeds + order-free merge -> identical rerun
     again = QUERIES["approx_heavy_hitters"](SF_DIR)
     assert got.equals(again)
+
+
+def test_repetition_batch_edge_cases():
+    """Hand-checked repetition signals: empty text, one word, total
+    bigram repetition, and a null."""
+    import pyarrow as pa
+
+    from tiny_lingua_ray.stages.repetition import repetition_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["", "word", "a b a b a b", None], pa.string()
+            ),
+        }
+    )
+    out = repetition_batch(batch).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_words"] == 0
+    assert out.loc[0, "top_bigram_frac"] == 0.0
+    assert out.loc[1, "n_words"] == 1
+    assert out.loc[1, "distinct_word_ratio"] == 1.0
+    assert out.loc[1, "top_bigram_frac"] == 0.0
+    # "a b a b a b": bigrams = [ab, ba, ab, ba, ab] -> top 3/5
+    assert out.loc[2, "n_words"] == 6
+    assert out.loc[2, "top_bigram_frac"] == 0.6
+    # trigrams = [aba, bab, aba, bab] -> top 2/4
+    assert out.loc[2, "top_trigram_frac"] == 0.5
+    assert out.loc[2, "distinct_word_ratio"] == round(2 / 6, 6)
+    assert out.loc[3, "n_words"] == 0

@@ -39,6 +39,10 @@ EXT_KEYS = (
     "hash_split",
     "rolling_7d_value",
     "percentiles_chars",
+    "bloom_semi_join",
+    "ntile_quartiles",
+    "intersect_users",
+    "unpivot_event_counts",
 )
 
 
@@ -123,3 +127,40 @@ def test_task_failure_recovery(ray_session, tmp_path):
         maybe_die, batch_format="pyarrow"
     )
     assert ds.count() == 1000
+
+
+def test_bloom_filter_no_false_negatives():
+    """Every inserted key must test positive (bloom guarantees no false
+    negatives); the FP rate on disjoint probes stays near the design
+    point (~0.2% at 50k keys / 1M bits / k=4)."""
+    import numpy as np
+
+    from tiny_lingua_ray.pipelines.relational_ext import (
+        _BLOOM_BITS,
+        _bloom_positions,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = rng.choice(10_000_000, size=50_000, replace=False).astype(np.int64)
+    bits = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+    pos = _bloom_positions(keys).ravel()
+    np.bitwise_or.at(
+        bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+    )
+
+    def member(k):
+        p = _bloom_positions(k)
+        hit = np.ones(len(k), dtype=bool)
+        for j in range(p.shape[1]):
+            pj = p[:, j]
+            hit &= (
+                bits[pj >> 6] >> (pj & 63).astype(np.uint64)
+            ) & np.uint64(1) > 0
+        return hit
+
+    assert member(keys).all()  # no false negatives, ever
+    probes = (
+        rng.choice(10_000_000, size=100_000, replace=False) + 10_000_000
+    ).astype(np.int64)
+    fp = member(probes).mean()
+    assert fp < 0.01, fp

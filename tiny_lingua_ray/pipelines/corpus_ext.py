@@ -282,6 +282,18 @@ def q_approx_heavy_hitters(sf_dir: str):
     return approx_heavy_hitters(docs, k=20)
 
 
+def q_repetition_signals(sf_dir: str):
+    """Gopher repetition measurements per doc (stages/repetition.py):
+    distinct-word ratio + top bigram/trigram occurrence fractions.
+    Stateless vectorized Arrow-batch map — embarrassingly parallel, no
+    shuffle; the quality gate consumes these next to quality_flags."""
+    from tiny_lingua_ray.stages.repetition import repetition_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )
+
+
 def _dedup_clusters_oracle(jaccard_pairs_sql: str) -> str:
     """Composed by queries.py from its own jaccard_pairs oracle so the
     pair set being closed over is literally the verified one."""
@@ -330,6 +342,7 @@ QUERIES_CORPUS = {
     "dedup_keep_first": q_dedup_keep_first,
     "approx_distinct_users": q_approx_distinct_users,
     "approx_heavy_hitters": q_approx_heavy_hitters,
+    "repetition_signals": q_repetition_signals,
 }
 
 ORACLE_CORPUS = {
@@ -352,5 +365,41 @@ ORACLE_CORPUS = {
           FROM scored)
         WHERE rk <= 5
     """,
-    # filled lazily to avoid a circular import at module load
+    "repetition_signals": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        grams AS (
+          SELECT doc_id, ws, len(ws) AS n_words,
+                 CASE WHEN len(ws) >= 2 THEN list_transform(
+                     range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                 ELSE [] END AS bi,
+                 CASE WHEN len(ws) >= 3 THEN list_transform(
+                     range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                 ELSE [] END AS tri
+          FROM w),
+        bstat AS (
+          SELECT doc_id, MAX(c) AS top, SUM(c) AS tot FROM (
+            SELECT doc_id, g, COUNT(*) AS c FROM (
+              SELECT doc_id, unnest(bi) AS g FROM grams) GROUP BY 1, 2)
+          GROUP BY doc_id),
+        tstat AS (
+          SELECT doc_id, MAX(c) AS top, SUM(c) AS tot FROM (
+            SELECT doc_id, g, COUNT(*) AS c FROM (
+              SELECT doc_id, unnest(tri) AS g FROM grams) GROUP BY 1, 2)
+          GROUP BY doc_id)
+        SELECT g.doc_id, g.n_words,
+               ROUND(CASE WHEN g.n_words > 0 THEN
+                 len(list_distinct(g.ws)) * 1.0 / g.n_words ELSE 0 END, 6)
+                 AS distinct_word_ratio,
+               ROUND(COALESCE(b.top * 1.0 / b.tot, 0), 6) AS top_bigram_frac,
+               ROUND(COALESCE(t.top * 1.0 / t.tot, 0), 6) AS top_trigram_frac
+        FROM grams g
+        LEFT JOIN bstat b ON g.doc_id = b.doc_id
+        LEFT JOIN tstat t ON g.doc_id = t.doc_id
+    """,
+    # dedup_clusters / dedup_keep_first filled lazily to avoid a
+    # circular import at module load
 }

@@ -949,6 +949,292 @@ def q_rollup_pricing(sf_dir: str):
     return out[["l_returnflag", "l_linestatus", "revenue", "n_rows"]]
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join (the shuffle-pruning scale path)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20  # 128 KB bitmap; ~0.2% FP at 50k keys with k=4
+_BLOOM_K = 4
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(len(keys), k) bit positions from a splitmix64-style mix per
+    hash seed — vectorized, deterministic."""
+    x = keys.astype(np.uint64).reshape(-1, 1)
+    seeds = np.array(
+        [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+         0xD6E8FEB86659FD93],
+        dtype=np.uint64,
+    )[: _BLOOM_K]
+    with np.errstate(over="ignore"):
+        h = (x + seeds) * np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(29)
+    return (h % np.uint64(_BLOOM_BITS)).astype(np.int64)
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Same answer as ``semi_join_big_spenders`` via the LARGE-key-set
+    scale path: when the distinct build side is too big to broadcast
+    exactly, broadcast a constant-size BLOOM FILTER instead and let the
+    exact cogroup semi-join run only on the pre-filtered survivors.
+
+    Shape: per-block key partials emit 128 KB OR-mergeable bitmaps (like
+    the HLL registers — constant per block, independent of key count);
+    the driver ORs them and ``ray.put``s one bitmap.  The probe side
+    drops non-members batch-locally (false-positive rate ~0.2%, never
+    false negatives), and only survivors ride the ONE tagged-union
+    cogroup exchange with the distinct keys for exact verification —
+    bloom pruning cuts shuffle volume by the non-member fraction, the
+    cogroup removes the false positives, so the result is exact (same
+    oracle as the broadcast path)."""
+    import ray
+
+    P = 16
+
+    def bitmap_partial(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b.column("o_totalprice"), 300.0)
+        keys = pc.unique(b.filter(keep).column("o_custkey"))
+        k = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+        if len(k):
+            pos = _bloom_positions(k).ravel()
+            np.bitwise_or.at(
+                bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+            )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    merged = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+    for part in orders.map_batches(
+        bitmap_partial, batch_format="pyarrow"
+    ).to_pandas()["bits"]:
+        merged |= np.frombuffer(part, dtype=np.uint64)
+    bloom_ref = ray.put(merged)
+
+    def _member(bits: np.ndarray, k: np.ndarray) -> np.ndarray:
+        pos = _bloom_positions(k)
+        hit = np.ones(len(k), dtype=bool)
+        for j in range(pos.shape[1]):
+            p = pos[:, j]
+            hit &= (
+                bits[p >> 6] >> (p & 63).astype(np.uint64)
+            ).astype(np.uint64) & np.uint64(1) > 0
+        return hit
+
+    # tagged union: side 0 = bloom-surviving event rows, side 1 = keys
+    def tag_events(b: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = _member(bits, uid)
+        t = b.filter(pa.array(m))
+        uid = uid[m]
+        return pa.table(
+            {
+                "shard": pa.array(uid % P),
+                "key": pa.array(uid),
+                "event_type": t.column("event_type"),
+                "side": pa.array(np.zeros(len(uid), dtype=np.int8)),
+            }
+        )
+
+    def tag_keys(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b.column("o_totalprice"), 300.0)
+        keys = pc.unique(b.filter(keep).column("o_custkey"))
+        k = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(k % P),
+                "key": pa.array(k),
+                "event_type": pa.nulls(len(k), pa.string()),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            }
+        )
+
+    empty = pa.table(
+        {"event_type": pa.array([], pa.string()),
+         "n_events": pa.array([], pa.int64())}
+    )
+
+    def verify_in_shard(df: pd.DataFrame) -> pa.Table:
+        ev = df[df["side"] == 0]
+        keys = df.loc[df["side"] == 1, "key"].unique()
+        hit = ev[ev["key"].isin(keys)]
+        if len(hit) == 0:
+            return empty
+        g = (
+            hit.groupby("event_type", as_index=False)
+            .size()
+            .rename(columns={"size": "n_events"})
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "n_events": pa.array(g["n_events"].to_numpy(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"]).map_batches(
+        tag_events, batch_format="pyarrow"
+    )
+    keys = orders.map_batches(tag_keys, batch_format="pyarrow")
+    return (
+        ev.union(keys)
+        .groupby("shard")
+        .map_groups(verify_in_shard, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE quartiles
+# ---------------------------------------------------------------------------
+
+
+def q_ntile_quartiles(sf_dir: str):
+    """NTILE(4) by value within each event type, aggregated to
+    (event_type, quartile, n_rows, sum_value).
+
+    ntile ranks by a TOTAL order (value, event_id tiebreak), so each
+    group must be ordered end to end; with a handful of event types the
+    per-group sort runs in one map_groups worker (documented
+    partitioning assumption: one group's rows fit a worker — the same
+    assumption the reference-style grouped sorts make).  High-cardinality
+    groupings would instead ride the running_total shard machinery."""
+
+    empty = pa.table(
+        {"event_type": pa.array([], pa.string()),
+         "quartile": pa.array([], pa.int64()),
+         "n_rows": pa.array([], pa.int64()),
+         "sum_value": pa.array([], pa.float64())}
+    )
+
+    def ntile_in_group(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["value", "event_id"], ignore_index=True)
+        n = len(df)
+        base, rem = divmod(n, 4)
+        sizes = np.full(4, base, dtype=np.int64)
+        sizes[:rem] += 1  # SQL ntile: first tiles get the extra row
+        q = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)
+        g = (
+            pd.DataFrame({"quartile": q, "value": df["value"].to_numpy()})
+            .groupby("quartile", as_index=False)
+            .agg(n_rows=("value", "size"), sum_value=("value", "sum"))
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [df["event_type"].iloc[0]] * len(g), pa.string()
+                ),
+                "quartile": pa.array(g["quartile"].to_numpy(np.int64)),
+                "n_rows": pa.array(g["n_rows"].to_numpy(np.int64)),
+                "sum_value": pa.array(np.round(g["sum_value"].to_numpy(), 6)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+        .groupby("event_type")
+        .map_groups(ntile_in_group, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set intersection (distinct users present in BOTH event types)
+# ---------------------------------------------------------------------------
+
+
+def q_intersect_users(sf_dir: str):
+    """INTERSECT of the distinct click / purchase user sets.  Per-batch
+    distinct (user, type) partials -> one groupby(user % P) exchange ->
+    per-shard "seen both types" test; only (user, flag) pairs ride the
+    shuffle, never event rows."""
+    P = 16
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            b.column("event_type"),
+            value_set=pa.array(["click", "purchase"]),
+        )
+        t = b.filter(m)
+        df = pa.table(
+            {"user_id": t.column("user_id"), "event_type": t.column("event_type")}
+        ).to_pandas().drop_duplicates()
+        uid = df["user_id"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(uid % P),
+                "user_id": pa.array(uid),
+                "is_click": pa.array(
+                    (df["event_type"] == "click").to_numpy(np.bool_)
+                ),
+            }
+        )
+
+    empty = pa.table({"user_id": pa.array([], pa.int64())})
+
+    def both_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        g = df.groupby("user_id")["is_click"].agg(["min", "max"])
+        both = g[(g["min"] == False) & (g["max"] == True)]  # noqa: E712
+        return pa.table(
+            {"user_id": pa.array(both.index.to_numpy(np.int64))}
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(both_in_shard, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long melt, the inverse of pivot_event_counts)
+# ---------------------------------------------------------------------------
+
+
+def q_unpivot_event_counts(sf_dir: str):
+    """Melt the pivot_event_counts wide table back to long
+    (user_id, event_type, n_events), keeping zero cells — a stateless
+    per-batch explode (np.repeat/tile), no extra shuffle beyond the
+    pivot's own aggregate."""
+
+    wide = q_pivot_event_counts(sf_dir)
+
+    def melt(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        R = len(uid)
+        T = len(_EVENT_TYPES)
+        counts = np.stack(
+            [
+                b.column(f"n_{t}").to_numpy(zero_copy_only=False)
+                for t in _EVENT_TYPES
+            ],
+            axis=1,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(uid, T)),
+                "event_type": pa.array(
+                    list(_EVENT_TYPES) * R, pa.string()
+                ),
+                "n_events": pa.array(counts.ravel().astype(np.int64)),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
 QUERIES_EXT = {
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "rollup_pricing": q_rollup_pricing,
@@ -967,6 +1253,10 @@ QUERIES_EXT = {
     "hash_split": q_hash_split,
     "rolling_7d_value": q_rolling_7d_value,
     "percentiles_chars": q_percentiles_chars,
+    "bloom_semi_join": q_bloom_semi_join,
+    "ntile_quartiles": q_ntile_quartiles,
+    "intersect_users": q_intersect_users,
+    "unpivot_event_counts": q_unpivot_event_counts,
 }
 
 
@@ -1080,6 +1370,42 @@ ORACLE_EXT = {
         FROM events
         WHERE user_id IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300)
         GROUP BY event_type
+    """,
+    # exact by construction (bloom prunes, the cogroup verifies) — the
+    # oracle is the same semi-join
+    "bloom_semi_join": """
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events
+        WHERE user_id IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300)
+        GROUP BY event_type
+    """,
+    "ntile_quartiles": """
+        SELECT event_type, quartile, COUNT(*) AS n_rows,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM (
+          SELECT event_type, value,
+                 NTILE(4) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+                 ) AS quartile
+          FROM events)
+        GROUP BY event_type, quartile
+    """,
+    "intersect_users": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "unpivot_event_counts": """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        c AS (SELECT user_id, event_type, COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+        t AS (SELECT unnest(
+                ['click', 'error', 'purchase', 'signup', 'view']
+              ) AS event_type)
+        SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n_events
+        FROM u CROSS JOIN t
+        LEFT JOIN c ON c.user_id = u.user_id
+                   AND c.event_type = t.event_type
     """,
     "group_topk_docs": """
         SELECT lang, doc_id, n_chars, rk FROM (
