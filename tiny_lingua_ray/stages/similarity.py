@@ -108,16 +108,19 @@ def knn_brute_force(ds, query_ids, k: int = 5, id_column: str = "vec_id",
     kwargs = (
         {"queries_ref": qref} if qref is not None else {"queries": queries}
     )
+    # STATELESS task pool, not actors: the only "state" is the broadcast
+    # query matrix, and a per-task plasma read is zero-copy — skipping
+    # the actor-pool spin-up saves ~2 s of fixed latency per call while
+    # scaling identically (tasks fan out to every core).
     partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={
+        _brute_force_batch,
+        fn_kwargs={
             **kwargs,
             "k": k,
             "id_column": id_column,
             "vec_column": vec_column,
         },
         batch_format="pyarrow",
-        concurrency=cpu_pool(),
     ).to_pandas()
 
     # global reduce: top-k per query (partials are k * n_batches rows)
@@ -150,6 +153,12 @@ def _spherical_kmeans(
                 if n > 0:
                     C[c] = v / n
     return C
+
+
+def _brute_force_batch(batch: pa.Table, **kw) -> pa.Table:
+    """Stateless per-task wrapper around BruteForceTopK (the queries ref
+    resolves zero-copy from plasma in each task)."""
+    return BruteForceTopK(**kw)(batch)
 
 
 class IVFTopK:
@@ -242,14 +251,15 @@ def knn_ivf(ds, query_ids, k: int = 5, n_cells: int = 16, n_probe: int = 4,
         sref = None
     kwargs = {"state_ref": sref} if sref is not None else {"state": state}
 
+    # stateless task pool (see _brute_force_batch): broadcast state reads
+    # are zero-copy per task, so actors buy nothing but spin-up latency
     partials = ds.map_batches(
-        IVFTopK,
-        fn_constructor_kwargs={
+        _ivf_batch,
+        fn_kwargs={
             **kwargs, "k": k,
             "id_column": id_column, "vec_column": vec_column,
         },
         batch_format="pyarrow",
-        concurrency=cpu_pool(),
     ).to_pandas()
 
     out = []
@@ -426,6 +436,16 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95,
 # K-means corpus clustering (the SemDeDup / curation primitive)
 # ---------------------------------------------------------------------------
 
+def _ivf_batch(batch: pa.Table, **kw) -> pa.Table:
+    """Stateless per-task wrapper around IVFTopK."""
+    return IVFTopK(**kw)(batch)
+
+
+def _kmeans_assign_batch(batch: pa.Table, **kw) -> pa.Table:
+    """Stateless per-task wrapper around KMeansAssign."""
+    return KMeansAssign(**kw)(batch)
+
+
 class KMeansAssign:
     """map_batches fn: assign every row to its nearest unit centroid.
 
@@ -481,11 +501,11 @@ def kmeans_assign(ds, n_clusters: int = 8, sample_size: int = 4096,
     except ImportError:
         cref = None
     kwargs = {"centroids_ref": cref} if cref is not None else {"centroids": C}
+    # stateless task pool (see _brute_force_batch)
     return ds.map_batches(
-        KMeansAssign,
-        fn_constructor_kwargs={
+        _kmeans_assign_batch,
+        fn_kwargs={
             **kwargs, "id_column": id_column, "vec_column": vec_column,
         },
         batch_format="pyarrow",
-        concurrency=cpu_pool(),
     )
