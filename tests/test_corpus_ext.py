@@ -182,3 +182,40 @@ def test_repetition_batch_edge_cases():
     assert out.loc[2, "top_trigram_frac"] == 0.5
     assert out.loc[2, "distinct_word_ratio"] == round(2 / 6, 6)
     assert out.loc[3, "n_words"] == 0
+
+
+def test_compression_ratio_properties(ray_session):
+    """Repetitive text compresses far better than varied text; empty
+    docs get ratio 1.0; values are deterministic and the query covers
+    every row exactly once."""
+    import pyarrow as pa
+
+    from tiny_lingua_ray.stages.textstats import compression_ratio_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["spam " * 400,
+                 " ".join(f"w{i}x{i * 7 % 13}" for i in range(400)),
+                 ""],
+                pa.string(),
+            ),
+        }
+    )
+    out = compression_ratio_batch(batch).to_pandas().set_index("doc_id")
+    assert out.loc[0, "compression_ratio"] < 0.05       # pure repetition
+    assert out.loc[1, "compression_ratio"] > 2 * out.loc[0, "compression_ratio"]
+    assert out.loc[2, "compression_ratio"] == 1.0
+    assert out.loc[2, "raw_bytes"] == 0
+
+    from tiny_lingua_ray.pipelines.corpus_ext import q_compression_ratio
+
+    got = q_compression_ratio(SF_DIR).to_pandas()
+    import pyarrow.parquet as pq
+
+    assert len(got) == pq.read_metadata(
+        f"{SF_DIR}/documents.parquet"
+    ).num_rows
+    assert got["doc_id"].is_unique
+    assert got["compression_ratio"].between(0, 1.5).all()

@@ -70,3 +70,38 @@ def test_kmeans_assign_properties(ray_session):
     a = got.sort_values("vec_id", ignore_index=True)
     b = again.sort_values("vec_id", ignore_index=True)
     assert a.equals(b)
+
+
+def test_knn_pq_recall_and_exact_cosines(ray_session):
+    """PQ guarantees: returned cosines are EXACT (re-ranked with true
+    vectors — every (query, neighbor) pair's cosine must equal the
+    brute-force value), recall@5 vs exact brute force stays high at
+    these parameters, and reruns are bit-identical (deterministic
+    codebooks)."""
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.similarity import knn_brute_force, knn_pq
+
+    def read():
+        return rd.read_parquet(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    qids = [0, 1, 2, 3, 4]
+    exact = knn_brute_force(read(), query_ids=qids, k=5)
+    approx = knn_pq(read(), query_ids=qids, k=5)
+    assert len(approx) == len(exact)
+
+    e = {(r.query_id, r.neighbor_id): r.cosine
+         for r in exact.itertuples(index=False)}
+    hits = 0
+    for r in approx.itertuples(index=False):
+        key = (r.query_id, r.neighbor_id)
+        if key in e:
+            hits += 1
+            assert abs(r.cosine - e[key]) < 1e-9, key  # exact re-rank
+    recall = hits / len(exact)
+    assert recall >= 0.8, recall
+
+    again = knn_pq(read(), query_ids=qids, k=5)
+    assert approx.equals(again)

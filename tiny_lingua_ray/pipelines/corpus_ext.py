@@ -294,6 +294,17 @@ def q_repetition_signals(sf_dir: str):
     )
 
 
+def q_compression_ratio(sf_dir: str):
+    """zlib redundancy signal per doc (stages/textstats.py) — stateless
+    parallel map, no shuffle; rows-only (no SQL zlib), properties pinned
+    in tests/test_corpus_ext.py."""
+    from tiny_lingua_ray.stages.textstats import compression_ratio_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        compression_ratio_batch, batch_format="pyarrow"
+    )
+
+
 def _dedup_clusters_oracle(jaccard_pairs_sql: str) -> str:
     """Composed by queries.py from its own jaccard_pairs oracle so the
     pair set being closed over is literally the verified one."""
@@ -343,6 +354,7 @@ QUERIES_CORPUS = {
     "approx_distinct_users": q_approx_distinct_users,
     "approx_heavy_hitters": q_approx_heavy_hitters,
     "repetition_signals": q_repetition_signals,
+    "compression_ratio": q_compression_ratio,
 }
 
 ORACLE_CORPUS = {

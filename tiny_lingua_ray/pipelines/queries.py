@@ -817,6 +817,21 @@ def q_knn_cosine(sf_dir: str):
     return out[["query_id", "neighbor_id", "cosine", "rank"]]
 
 
+def q_knn_cosine_pq(sf_dir: str):
+    """Product-quantization top-k — the MEMORY scale path beside brute
+    force and IVF: uint8 codes (m bytes/row, 64x smaller than the
+    float64 vectors) scanned via ADC lookup tables, exact re-rank of the
+    short candidate list.  Deterministic (strided init, fixed iteration)
+    but approximate by construction — rows-only; recall vs exact brute
+    force and cosine exactness pinned in tests/test_similarity.py."""
+    from tiny_lingua_ray.stages.similarity import knn_pq
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_pq(ds, query_ids=[0, 1, 2, 3, 4], k=5)
+    out["cosine"] = out["cosine"].round(4)
+    return out[["query_id", "neighbor_id", "cosine", "rank"]]
+
+
 def q_knn_cosine_ivf(sf_dir: str):
     """IVF approximate top-k — the scale path beside brute force: coarse
     quantizer trained on a bounded sample, centroids+queries broadcast
@@ -1075,6 +1090,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "knn_cosine": q_knn_cosine,
     "knn_cosine_ivf": q_knn_cosine_ivf,
+    "knn_cosine_pq": q_knn_cosine_pq,
     "embedding_label_stats": q_embedding_label_stats,
     "cosine_near_dup": q_cosine_near_dup,
     "image_features": q_image_features,

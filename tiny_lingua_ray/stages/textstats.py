@@ -134,3 +134,35 @@ def lang_heuristic_batch(
             "lang_heuristic": pa.array(out, pa.string()),
         }
     )
+
+
+def compression_ratio_batch(
+    batch: pa.Table, text_column: str = "text", id_column: str = "doc_id"
+) -> pa.Table:
+    """Per-doc zlib compression ratio — the redundancy signal RefinedWeb
+    / MassiveText-style pipelines use to catch machine-generated or
+    boilerplate text that n-gram fractions miss (highly compressible =>
+    repetitive).  zlib level 6 over UTF-8 bytes; ratio =
+    compressed/raw (1.0 for empty docs so they are not flagged as
+    repetitive).  The per-row zlib call is a C entry point (same
+    pattern as the forced-per-row clean_text); no SQL analogue exists,
+    so the query is rows-only with property tests."""
+    import zlib
+
+    texts = batch.column(text_column).to_pylist()
+    raw = np.zeros(len(texts), dtype=np.int64)
+    comp = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = (t or "").encode("utf-8")
+        raw[i] = len(b)
+        comp[i] = len(zlib.compress(b, 6))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 1.0)
+    return pa.table(
+        {
+            id_column: batch.column(id_column),
+            "raw_bytes": pa.array(raw),
+            "compressed_bytes": pa.array(comp),
+            "compression_ratio": pa.array(np.round(ratio, 6)),
+        }
+    )
