@@ -305,6 +305,236 @@ def q_compression_ratio(sf_dir: str):
     )
 
 
+def q_source_stats(sf_dir: str):
+    """Per-source corpus profile: doc count, mean length, language
+    spread.  Per-batch (source, lang, n, sum_chars) partials -> one
+    groupby(source) -> per-group pandas-C merge; the shuffle carries
+    one row per (source, lang, block), never documents."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "source": b.column("source"),
+                "lang": b.column("lang"),
+                "n_chars": b.column("n_chars"),
+            }
+        ).to_pandas()
+        g = df.groupby(["source", "lang"], as_index=False).agg(
+            n=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "sum_chars": pa.array(g["sum_chars"].to_numpy(np.int64)),
+            }
+        )
+
+    empty = pa.table(
+        {"source": pa.array([], pa.string()),
+         "n_docs": pa.array([], pa.int64()),
+         "avg_chars": pa.array([], pa.float64()),
+         "n_langs": pa.array([], pa.int64())}
+    )
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        n = int(df["n"].sum())
+        return pa.table(
+            {
+                "source": pa.array([df["source"].iloc[0]], pa.string()),
+                "n_docs": pa.array([n], pa.int64()),
+                "avg_chars": pa.array(
+                    [round(float(df["sum_chars"].sum()) / n, 6)]
+                ),
+                "n_langs": pa.array([df["lang"].nunique()], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+_BALANCE_TARGET = 100  # docs per language
+_BALANCE_MOD = 1_000_000
+
+
+def q_lang_balanced_sample(sf_dir: str):
+    """Corpus balancing: deterministic per-language downsampling toward
+    ``_BALANCE_TARGET`` docs/language.  Two passes: a tiny per-language
+    count aggregate, then a broadcast integer threshold per language and
+    a hash filter — rate = target*MOD // n_lang compared against
+    md5(doc_id) % MOD, all-integer so DuckDB replays it bit-exactly
+    (the md5-vs-FNV verifiability trade is the q_hash_split one;
+    relational_ext._rank_hash documents the vectorized production
+    scheme).  No shuffle of the corpus — the only exchange is the
+    per-language count."""
+    from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
+
+    counts = (
+        _read(sf_dir, "documents", columns=["lang"])
+        .groupby("lang")
+        .count()
+        .to_pandas()
+    )
+    thresh = {
+        r["lang"]: min(
+            _BALANCE_MOD,
+            (_BALANCE_TARGET * _BALANCE_MOD) // int(r["count()"]),
+        )
+        for _, r in counts.iterrows()
+    }
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = _md5_lower64_batch([str(int(i)) for i in ids])
+        t = np.fromiter(
+            (thresh.get(lang, 0) for lang in b.column("lang").to_pylist()),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        return b.filter(pa.array(h % np.uint64(_BALANCE_MOD) < t))
+
+    return _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        pick, batch_format="pyarrow"
+    )
+
+
+_PACK_BUDGET = 512  # tokens per training shard/bin
+
+
+def q_pack_sequences(sf_dir: str):
+    """Token-budget sequence packing (the LLM pre-training sharding
+    step): within each language, in doc_id order, assign each doc the
+    bin ``floor(cumulative_tokens_before / budget)`` — greedy contiguous
+    packing into ~512-token training shards.
+
+    DISTRIBUTED PREFIX SUM, no global sort and no per-language
+    materialization: (1) strip text to 24 B/row (doc_id, lang,
+    n_tokens) partials; (2) RANGE-shard on doc_id (shard = id*P//(max+1),
+    order-preserving across shards); (3) per-shard sorted cumsum plus a
+    per-(shard, lang) total — the totals (P x L rows) come to the
+    driver, which computes exclusive prefix offsets; (4) a broadcast
+    offset map finishes each row's global running count batch-locally.
+    The corpus text is read once; only the tiny triple rides the one
+    exchange.  The oracle is the SQL window
+    SUM() OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)."""
+    P = 16
+
+    # pass 0: max doc_id (order-free aggregate) for range sharding
+    from ray.data.aggregate import Max
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    max_id = int(docs.aggregate(Max("doc_id", alias_name="m"))["m"])
+    span = max_id + 1
+
+    def tokens_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        la = pc.split_pattern(pc.fill_null(col, ""), " ")
+        cnt = np.diff(la.offsets.to_numpy(zero_copy_only=False))
+        # non-empty word count: total items minus empty items per doc
+        words = np.asarray(la.values.to_pylist(), dtype=object)
+        doc_idx = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+        n_empty = np.bincount(doc_idx[words == ""], minlength=len(cnt))
+        n_tok = (cnt - n_empty).astype(np.int64)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "shard": pa.array(ids * P // span),
+                "doc_id": pa.array(ids),
+                "lang": b.column("lang"),
+                "n_tokens": pa.array(n_tok),
+            }
+        )
+
+    triples = docs.map_batches(
+        tokens_partial, batch_format="pyarrow"
+    ).materialize()
+
+    # per-(shard, lang) totals -> exclusive prefix offsets on the driver
+    def shard_totals(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"shard": b.column("shard"), "lang": b.column("lang"),
+             "n_tokens": b.column("n_tokens")}
+        ).to_pandas()
+        g = df.groupby(["shard", "lang"], as_index=False)["n_tokens"].sum()
+        return pa.table(
+            {
+                "shard": pa.array(g["shard"].to_numpy(np.int64)),
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "tot": pa.array(g["n_tokens"].to_numpy(np.int64)),
+            }
+        )
+
+    totals = (
+        triples.map_batches(shard_totals, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["shard", "lang"], as_index=False)["tot"]
+        .sum()
+        .sort_values(["lang", "shard"])
+    )
+    totals["offset"] = (
+        totals.groupby("lang")["tot"].cumsum() - totals["tot"]
+    )
+    offsets = {
+        (int(r["shard"]), r["lang"]): int(r["offset"])
+        for _, r in totals.iterrows()
+    }
+
+    import ray
+
+    off_ref = ray.put(offsets)
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "lang": pa.array([], pa.string()),
+         "n_tokens": pa.array([], pa.int64()),
+         "bin_id": pa.array([], pa.int64())}
+    )
+
+    def pack_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        offs = ray.get(off_ref)
+        shard = int(df["shard"].iloc[0])
+        df = df.sort_values("doc_id", ignore_index=True)
+        cum_before = (
+            df.groupby("lang")["n_tokens"].cumsum() - df["n_tokens"]
+        ).to_numpy(np.int64)
+        base = np.fromiter(
+            (offs.get((shard, lang), 0) for lang in df["lang"]),
+            dtype=np.int64,
+            count=len(df),
+        )
+        bins = (cum_before + base) // _PACK_BUDGET
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "lang": pa.array(df["lang"].tolist(), pa.string()),
+                "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64)),
+                "bin_id": pa.array(bins),
+            }
+        )
+
+    return (
+        triples.groupby("shard")
+        .map_groups(pack_in_shard, batch_format="pandas")
+    )
+
+
 def _dedup_clusters_oracle(jaccard_pairs_sql: str) -> str:
     """Composed by queries.py from its own jaccard_pairs oracle so the
     pair set being closed over is literally the verified one."""
@@ -355,6 +585,9 @@ QUERIES_CORPUS = {
     "approx_heavy_hitters": q_approx_heavy_hitters,
     "repetition_signals": q_repetition_signals,
     "compression_ratio": q_compression_ratio,
+    "source_stats": q_source_stats,
+    "lang_balanced_sample": q_lang_balanced_sample,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_CORPUS = {
@@ -411,6 +644,32 @@ ORACLE_CORPUS = {
         FROM grams g
         LEFT JOIN bstat b ON g.doc_id = b.doc_id
         LEFT JOIN tstat t ON g.doc_id = t.doc_id
+    """,
+    "source_stats": """
+        SELECT source, COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 6) AS avg_chars,
+               COUNT(DISTINCT lang) AS n_langs
+        FROM documents GROUP BY source
+    """,
+    "lang_balanced_sample": """
+        WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN c USING (lang)
+        WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000
+              < LEAST(1000000, (100 * 1000000) // c.n)
+    """,
+    "pack_sequences": """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS n_tokens
+          FROM documents)
+        SELECT doc_id, lang, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 512 AS BIGINT) AS bin_id
+        FROM t
     """,
     # dedup_clusters / dedup_keep_first filled lazily to avoid a
     # circular import at module load
