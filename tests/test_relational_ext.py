@@ -43,6 +43,8 @@ EXT_KEYS = (
     "ntile_quartiles",
     "intersect_users",
     "unpivot_event_counts",
+    "left_join_customer_orders",
+    "value_stats",
 )
 
 

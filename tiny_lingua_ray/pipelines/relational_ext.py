@@ -950,6 +950,155 @@ def q_rollup_pricing(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Left outer join
+# ---------------------------------------------------------------------------
+
+
+def q_left_join_customer_orders(sf_dir: str):
+    """Per-customer order rollup that KEEPS customers with no matching
+    order (LEFT OUTER): (c_custkey, c_mktsegment, n_orders,
+    sum_spent) with 0/0.0 for the unmatched side.  Large x large -> the
+    cogroup idiom: the orders side pre-reduces to per-batch
+    (custkey, n, sum) partials (24 B/row rides the exchange, never order
+    rows), one tagged-union groupby(custkey % P), per-shard pandas-C
+    left merge with fillna.  The price predicate keeps the unmatched
+    side non-empty on the synthetic tables."""
+    P = 32
+    _PRICE = 400_000.0
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("c_custkey"), pa.int64())
+        return pa.table(
+            {
+                "shard": pc.cast(pc.bit_wise_and(key, P - 1), pa.int64()),
+                "key": key,
+                "seg": b.column("c_mktsegment"),
+                "n": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "s": pa.array(np.zeros(b.num_rows, dtype=np.float64)),
+                "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("o_totalprice"), _PRICE))
+        df = pa.table(
+            {"key": b.column("o_custkey"), "p": b.column("o_totalprice")}
+        ).to_pandas()
+        g = df.groupby("key", as_index=False).agg(
+            n=("p", "size"), s=("p", "sum")
+        )
+        key = g["key"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(key & (P - 1)),
+                "key": pa.array(key),
+                "seg": pa.nulls(len(key), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "s": pa.array(g["s"].to_numpy(np.float64)),
+                "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            }
+        )
+
+    empty = pa.table(
+        {"c_custkey": pa.array([], pa.int64()),
+         "c_mktsegment": pa.array([], pa.string()),
+         "n_orders": pa.array([], pa.int64()),
+         "sum_spent": pa.array([], pa.float64())}
+    )
+
+    def join_in_shard(df: pd.DataFrame) -> pa.Table:
+        cust = df[df["side"] == 0]
+        if len(cust) == 0:
+            return empty
+        right = (
+            df[df["side"] == 1]
+            .groupby("key", as_index=False)[["n", "s"]]
+            .sum()
+        )
+        m = cust[["key", "seg"]].merge(right, on="key", how="left")
+        n = m["n"].fillna(0).to_numpy(np.int64)
+        s = m["s"].fillna(0.0).to_numpy(np.float64)
+        return pa.table(
+            {
+                "c_custkey": pa.array(m["key"].to_numpy(np.int64)),
+                "c_mktsegment": pa.array(m["seg"].tolist(), pa.string()),
+                "n_orders": pa.array(n),
+                "sum_spent": pa.array(np.round(s, 2)),
+            }
+        )
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(prep_cust, batch_format="pyarrow")
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    return (
+        cust.union(orders)
+        .groupby("shard")
+        .map_groups(join_in_shard, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed variance / stddev (Welford-free sufficient statistics)
+# ---------------------------------------------------------------------------
+
+
+def q_value_stats(sf_dir: str):
+    """Per-event-type mean / sample stddev / sample variance from
+    (n, sum, sum-of-squares) sufficient-statistic partials — the
+    textbook distributed second-moment aggregate: each batch emits one
+    triple per group, the tiny partials sum associatively, the final
+    formula runs on <=#groups rows on the driver."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"event_type": b.column("event_type"), "v": b.column("value")}
+        ).to_pandas()
+        df["v2"] = df["v"] * df["v"]
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), s2=("v2", "sum")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "s": pa.array(g["s"].to_numpy(np.float64)),
+                "s2": pa.array(g["s2"].to_numpy(np.float64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "events", columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2"),
+        )
+        .to_pandas()
+    )
+    n = out["n"].to_numpy(np.float64)
+    s = out["s"].to_numpy(np.float64)
+    s2 = out["s2"].to_numpy(np.float64)
+    mean = s / n
+    var = (s2 - n * mean * mean) / (n - 1)
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "n": out["n"].astype(np.int64),
+            "mean_value": np.round(mean, 6),
+            "stddev_value": np.round(np.sqrt(var), 6),
+            "var_value": np.round(var, 6),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter semi-join (the shuffle-pruning scale path)
 # ---------------------------------------------------------------------------
 
@@ -1257,6 +1406,8 @@ QUERIES_EXT = {
     "ntile_quartiles": q_ntile_quartiles,
     "intersect_users": q_intersect_users,
     "unpivot_event_counts": q_unpivot_event_counts,
+    "left_join_customer_orders": q_left_join_customer_orders,
+    "value_stats": q_value_stats,
 }
 
 
@@ -1394,6 +1545,22 @@ ORACLE_EXT = {
         SELECT user_id FROM events WHERE event_type = 'click'
         INTERSECT
         SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "left_join_customer_orders": """
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders,
+               ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS sum_spent
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    "value_stats": """
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(AVG(value), 6) AS mean_value,
+               ROUND(STDDEV_SAMP(value), 6) AS stddev_value,
+               ROUND(VAR_SAMP(value), 6) AS var_value
+        FROM events GROUP BY event_type
     """,
     "unpivot_event_counts": """
         WITH u AS (SELECT DISTINCT user_id FROM events),
