@@ -45,6 +45,9 @@ EXT_KEYS = (
     "unpivot_event_counts",
     "left_join_customer_orders",
     "value_stats",
+    "full_outer_user_days",
+    "corr_qty_price",
+    "global_rank_docs",
 )
 
 

@@ -1041,6 +1041,241 @@ def q_left_join_customer_orders(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Full outer join
+# ---------------------------------------------------------------------------
+
+
+def q_full_outer_user_days(sf_dir: str):
+    """FULL OUTER join of each user's click-day set with their
+    purchase-day set: (user_id, day, n_clicks, n_purchases) where either
+    count may be 0 — days with only clicks, only purchases, or both all
+    appear.  Completes the join family (inner/left/semi/anti/as-of/band/
+    range/bloom).  Both sides pre-reduce to per-batch (user, day, n)
+    partials; ONE cogroup exchange on ``user % P``; per-shard pandas
+    outer merge with fillna."""
+    P = 32
+
+    def prep(b: pa.Table, which: str) -> pa.Table:
+        m = pc.equal(b.column("event_type"), which)
+        t = b.filter(m)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000  # µs -> days since epoch
+        df = pd.DataFrame(
+            {"user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+             "day": day}
+        )
+        g = df.groupby(["user_id", "day"], as_index=False).size()
+        uid = g["user_id"].to_numpy(np.int64)
+        side = np.int8(0 if which == "click" else 1)
+        return pa.table(
+            {
+                "shard": pa.array(uid % P),
+                "user_id": pa.array(uid),
+                "day": pa.array(g["day"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+                "side": pa.array(np.full(len(uid), side, dtype=np.int8)),
+            }
+        )
+
+    empty = pa.table(
+        {"user_id": pa.array([], pa.int64()),
+         "day": pa.array([], pa.int64()),
+         "n_clicks": pa.array([], pa.int64()),
+         "n_purchases": pa.array([], pa.int64())}
+    )
+
+    def outer_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        c = (
+            df[df["side"] == 0]
+            .groupby(["user_id", "day"], as_index=False)["n"]
+            .sum()
+            .rename(columns={"n": "n_clicks"})
+        )
+        p = (
+            df[df["side"] == 1]
+            .groupby(["user_id", "day"], as_index=False)["n"]
+            .sum()
+            .rename(columns={"n": "n_purchases"})
+        )
+        m = c.merge(p, on=["user_id", "day"], how="outer")
+        return pa.table(
+            {
+                "user_id": pa.array(m["user_id"].to_numpy(np.int64)),
+                "day": pa.array(m["day"].to_numpy(np.int64)),
+                "n_clicks": pa.array(
+                    m["n_clicks"].fillna(0).to_numpy(np.int64)
+                ),
+                "n_purchases": pa.array(
+                    m["n_purchases"].fillna(0).to_numpy(np.int64)
+                ),
+            }
+        )
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    clicks = ev.map_batches(
+        prep, fn_kwargs={"which": "click"}, batch_format="pyarrow"
+    )
+    purch = ev.map_batches(
+        prep, fn_kwargs={"which": "purchase"}, batch_format="pyarrow"
+    )
+    return (
+        clicks.union(purch)
+        .groupby("shard")
+        .map_groups(outer_in_shard, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation (sufficient statistics)
+# ---------------------------------------------------------------------------
+
+
+def q_corr_qty_price(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs extended price
+    from associative (n, sx, sy, sxx, syy, sxy) partials — the same
+    sufficient-statistic shape as q_value_stats, two variables."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "f": b.column("l_returnflag"),
+                "x": b.column("l_quantity"),
+                "y": b.column("l_extendedprice"),
+            }
+        ).to_pandas()
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["xy"] = df["x"] * df["y"]
+        g = df.groupby("f", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"),
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["f"].tolist(), pa.string()),
+                **{
+                    c: pa.array(g[c].to_numpy(np.float64))
+                    for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+                },
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            *[Sum(c, alias_name=c)
+              for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+        )
+        .to_pandas()
+    )
+    n = out["n"].to_numpy(np.float64)
+    cov = out["sxy"] - out["sx"] * out["sy"] / n
+    vx = out["sxx"] - out["sx"] ** 2 / n
+    vy = out["syy"] - out["sy"] ** 2 / n
+    corr = cov / np.sqrt(vx * vy)
+    return pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "n": out["n"].astype(np.int64),
+            "corr_qty_price": np.round(corr, 6),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global rank (distributed ORDER BY + ROW_NUMBER, no single-node sort)
+# ---------------------------------------------------------------------------
+
+
+def q_global_rank_docs(sf_dir: str):
+    """Every document's global rank by (n_chars DESC, doc_id ASC) —
+    ROW_NUMBER over the whole table WITHOUT materializing a single-node
+    sort: (1) a bounded driver sample estimates value splitters;
+    (2) rows bucket by n_chars (searchsorted; equal values always share
+    a bucket, so bucket boundaries can never split a tie group across
+    workers); (3) per-bucket counts (tiny aggregate) give exact
+    exclusive offsets on the driver; (4) each bucket sorts locally and
+    adds its offset.  Skewed single values concentrate in one bucket —
+    the documented trade; production would split ties by a secondary
+    range on doc_id."""
+    import ray
+
+    P = 16
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    sample = docs.limit(4096).to_pandas()
+    qs = np.quantile(
+        sample["n_chars"].to_numpy(np.float64),
+        np.linspace(0, 1, P + 1)[1:-1],
+    )
+    splitters = np.unique(qs.astype(np.int64))  # ascending value cuts
+    s_ref = ray.put(splitters)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        sp = ray.get(s_ref)
+        v = b.column("n_chars").to_numpy(zero_copy_only=False)
+        # DESC rank: bucket 0 holds the largest values
+        bucket = len(sp) - np.searchsorted(sp, v, side="left")
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+            }
+        )
+
+    tagged = docs.map_batches(bucketize, batch_format="pyarrow").materialize()
+
+    counts = (
+        tagged.groupby("bucket").count().to_pandas().sort_values("bucket")
+    )
+    counts["offset"] = counts["count()"].cumsum() - counts["count()"]
+    offsets = dict(
+        zip(counts["bucket"].astype(int), counts["offset"].astype(int))
+    )
+    off_ref = ray.put(offsets)
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_chars": pa.array([], pa.int64()),
+         "rk": pa.array([], pa.int64())}
+    )
+
+    def rank_in_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        offs = ray.get(off_ref)
+        base = int(offs[int(df["bucket"].iloc[0])])
+        df = df.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True],
+            ignore_index=True,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "n_chars": pa.array(df["n_chars"].to_numpy(np.int64)),
+                "rk": pa.array(
+                    base + 1 + np.arange(len(df), dtype=np.int64)
+                ),
+            }
+        )
+
+    return (
+        tagged.groupby("bucket")
+        .map_groups(rank_in_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distributed variance / stddev (Welford-free sufficient statistics)
 # ---------------------------------------------------------------------------
 
@@ -1403,6 +1638,9 @@ QUERIES_EXT = {
     "rolling_7d_value": q_rolling_7d_value,
     "percentiles_chars": q_percentiles_chars,
     "bloom_semi_join": q_bloom_semi_join,
+    "full_outer_user_days": q_full_outer_user_days,
+    "corr_qty_price": q_corr_qty_price,
+    "global_rank_docs": q_global_rank_docs,
     "ntile_quartiles": q_ntile_quartiles,
     "intersect_users": q_intersect_users,
     "unpivot_event_counts": q_unpivot_event_counts,
@@ -1554,6 +1792,33 @@ ORACLE_EXT = {
         LEFT JOIN orders o
           ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
         GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    "full_outer_user_days": """
+        WITH c AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                 COUNT(*) AS n_clicks
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                 COUNT(*) AS n_purchases
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(c.day, p.day) AS day,
+               COALESCE(c.n_clicks, 0) AS n_clicks,
+               COALESCE(p.n_purchases, 0) AS n_purchases
+        FROM c FULL OUTER JOIN p
+          ON c.user_id = p.user_id AND c.day = p.day
+    """,
+    "corr_qty_price": """
+        SELECT l_returnflag, COUNT(*) AS n,
+               ROUND(CORR(l_quantity, l_extendedprice), 6)
+                 AS corr_qty_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "global_rank_docs": """
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
     """,
     "value_stats": """
         SELECT event_type, COUNT(*) AS n,
