@@ -30,7 +30,7 @@ def ddb():
     "key",
     ["tfidf_top_terms", "dedup_clusters", "dedup_keep_first", "simhash_pairs",
      "repetition_signals", "source_stats", "lang_balanced_sample",
-     "pack_sequences"],
+     "pack_sequences", "decontaminate"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES
@@ -220,3 +220,31 @@ def test_compression_ratio_properties(ray_session):
     ).num_rows
     assert got["doc_id"].is_unique
     assert got["compression_ratio"].between(0, 1.5).all()
+
+
+def test_approx_quantiles_rank_guarantee(ray_session, ddb):
+    """The histogram sketch's real guarantee is on RANK, not value
+    (integer data with gaps can put adjacent order statistics many bin
+    widths apart): the estimate's empirical CDF must reach q, and one
+    bin width lower must not — i.e. the estimate brackets the exact
+    q-quantile rank to within one bin."""
+    import pyarrow.parquet as pq
+
+    from tiny_lingua_ray.pipelines.corpus_ext import q_approx_quantiles_chars
+
+    got = q_approx_quantiles_chars(SF_DIR).set_index("quantile")
+    vals = np.sort(
+        pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["n_chars"]
+        ).column("n_chars").to_numpy()
+    )
+    n = len(vals)
+    width = (vals[-1] - vals[0]) / 2048
+    for q in (0.5, 0.9, 0.99):
+        est = got.loc[q, "estimate"]
+        cdf_at = np.searchsorted(vals, est, side="right") / n
+        cdf_below = np.searchsorted(
+            vals, est - width - 1e-6, side="right"
+        ) / n
+        assert cdf_at >= q - 1e-9, (q, est, cdf_at)
+        assert cdf_below < q, (q, est, cdf_below)

@@ -535,6 +535,108 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+_N_PROBES = 5
+_PROBE_LEN = 40
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus documents containing any
+    eval-set probe string (the n-gram-overlap check every serious
+    training-data pipeline runs before training).  Probes here are
+    derived deterministically from the corpus itself (first 40 chars of
+    doc_id < 5) so the oracle can replay them; a real run would load
+    them from the benchmark files.
+
+    Shape: the probe set is tiny -> broadcast once (ray.put); matching
+    is ``pc.match_substring`` per probe — an Arrow C++ kernel per
+    (probe, batch), no Python row loop; the corpus never shuffles."""
+    import pyarrow.compute as pc
+    import ray
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    probe_rows = (
+        docs.filter(lambda r: r["doc_id"] < _N_PROBES)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    probes = [
+        (int(r["doc_id"]), (r["text"] or "")[:_PROBE_LEN])
+        for _, r in probe_rows.iterrows()
+    ]
+    p_ref = ray.put(probes)
+
+    def scan(b: pa.Table) -> pa.Table:
+        ps = ray.get(p_ref)
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        hits = np.zeros(len(ids), dtype=np.int64)
+        for pid, probe in ps:
+            m = pc.match_substring(col, probe).to_numpy(
+                zero_copy_only=False
+            )
+            hits += m & (ids != pid)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_probe_hits": pa.array(hits),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow")
+
+
+def q_approx_quantiles_chars(sf_dir: str):
+    """Histogram-sketch approximate quantiles of n_chars (p50/p90/p99)
+    — the constant-state twin of the exact distributed percentiles
+    (relational_ext.q_percentiles_chars): one (min, max) aggregate fixes
+    2048 bins, per-batch bincounts ride the shuffle as (bin, n) rows,
+    the driver cumsums <=2048 rows and interpolates.  The guarantee is
+    on RANK: the estimate's empirical CDF reaches q while one bin width
+    lower does not (value error is unbounded on gappy integer data —
+    asserted as the rank-bracket property in tests/test_corpus_ext.py);
+    rows-only by construction."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    B = 2048
+    docs = _read(sf_dir, "documents", columns=["n_chars"])
+    mm = docs.aggregate(
+        Min("n_chars", alias_name="lo"), Max("n_chars", alias_name="hi")
+    )
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    width = max((hi - lo) / B, 1e-9)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        v = b.column("n_chars").to_numpy(zero_copy_only=False)
+        bins = np.minimum(((v - lo) / width).astype(np.int64), B - 1)
+        cnt = np.bincount(bins, minlength=B)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"bin": pa.array(nz.astype(np.int64)),
+             "n": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    out = []
+    for q in (0.5, 0.9, 0.99):
+        target = q * total
+        i = int(np.searchsorted(cum, target))
+        est = lo + (int(hist["bin"].iloc[min(i, len(hist) - 1)]) + 1) * width
+        out.append((q, round(float(est), 6)))
+    return pd.DataFrame(out, columns=["quantile", "estimate"])
+
+
 def _dedup_clusters_oracle(jaccard_pairs_sql: str) -> str:
     """Composed by queries.py from its own jaccard_pairs oracle so the
     pair set being closed over is literally the verified one."""
@@ -588,6 +690,8 @@ QUERIES_CORPUS = {
     "source_stats": q_source_stats,
     "lang_balanced_sample": q_lang_balanced_sample,
     "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
+    "approx_quantiles_chars": q_approx_quantiles_chars,
 }
 
 ORACLE_CORPUS = {
@@ -657,6 +761,20 @@ ORACLE_CORPUS = {
         FROM documents d JOIN c USING (lang)
         WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000
               < LEAST(1000000, (100 * 1000000) // c.n)
+    """,
+    "decontaminate": """
+        WITH probes AS (
+          SELECT doc_id AS pid, substr(text, 1, 40) AS probe
+          FROM documents WHERE doc_id < 5)
+        SELECT d.doc_id,
+               CAST(SUM(CASE WHEN d.doc_id <> p.pid
+                             AND position(p.probe IN d.text) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_hits,
+               SUM(CASE WHEN d.doc_id <> p.pid
+                        AND position(p.probe IN d.text) > 0
+                   THEN 1 ELSE 0 END) > 0 AS contaminated
+        FROM documents d CROSS JOIN probes p
+        GROUP BY d.doc_id
     """,
     "pack_sequences": """
         WITH t AS (
