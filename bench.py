@@ -43,6 +43,10 @@ BENCH_QUERIES = (
     "knn_cosine",
     "order_lineitem_band_join",
     "asof_event_order",
+    "repetition_signals",
+    "pack_sequences",
+    "left_join_customer_orders",
+    "global_rank_docs",
 )
 
 
