@@ -555,7 +555,12 @@ def q_decontaminate(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     probe_rows = (
-        docs.filter(lambda r: r["doc_id"] < _N_PROBES)
+        docs.map_batches(
+            lambda b: b.filter(
+                pc.less(b.column("doc_id"), _N_PROBES)
+            ),
+            batch_format="pyarrow",
+        )
         .to_pandas()
         .sort_values("doc_id")
     )
