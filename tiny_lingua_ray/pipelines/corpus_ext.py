@@ -26,6 +26,13 @@ import pyarrow as pa
 from tiny_lingua_ray.tableutil import from_df as _from_df
 
 
+def _str_keys(series) -> list:
+    """Group-key series -> list for pa.array(..., pa.string()): a NULL
+    group key (groupby dropna=False) surfaces as NaN, which pa.string()
+    rejects — map it back to None."""
+    return [None if pd.isna(v) else v for v in series]
+
+
 def _read(sf_dir: str, table: str, columns=None, **kw):
     from tiny_lingua_ray.pipelines.queries import _read as r
 
@@ -319,13 +326,14 @@ def q_source_stats(sf_dir: str):
                 "n_chars": b.column("n_chars"),
             }
         ).to_pandas()
-        g = df.groupby(["source", "lang"], as_index=False).agg(
+        # dropna=False: SQL GROUP BY keeps NULL-keyed rows
+        g = df.groupby(["source", "lang"], as_index=False, dropna=False).agg(
             n=("n_chars", "size"), sum_chars=("n_chars", "sum")
         )
         return pa.table(
             {
-                "source": pa.array(g["source"].tolist(), pa.string()),
-                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "source": pa.array(_str_keys(g["source"]), pa.string()),
+                "lang": pa.array(_str_keys(g["lang"]), pa.string()),
                 "n": pa.array(g["n"].to_numpy(np.int64)),
                 "sum_chars": pa.array(g["sum_chars"].to_numpy(np.int64)),
             }
@@ -342,9 +350,12 @@ def q_source_stats(sf_dir: str):
         if len(df) == 0:
             return empty
         n = int(df["n"].sum())
+        src = df["source"].iloc[0]
         return pa.table(
             {
-                "source": pa.array([df["source"].iloc[0]], pa.string()),
+                "source": pa.array(
+                    [None if pd.isna(src) else src], pa.string()
+                ),
                 "n_docs": pa.array([n], pa.int64()),
                 "avg_chars": pa.array(
                     [round(float(df["sum_chars"].sum()) / n, 6)]
@@ -428,12 +439,18 @@ def q_pack_sequences(sf_dir: str):
     PRECEDING AND 1 PRECEDING)."""
     P = 16
 
-    # pass 0: max doc_id (order-free aggregate) for range sharding
+    # pass 0: max doc_id (order-free aggregate) for range sharding —
+    # over a doc_id-ONLY read so the text column is decompressed exactly
+    # once (in the tokens pass below)
     from ray.data.aggregate import Max
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    max_id = int(docs.aggregate(Max("doc_id", alias_name="m"))["m"])
+    max_id = int(
+        _read(sf_dir, "documents", columns=["doc_id"]).aggregate(
+            Max("doc_id", alias_name="m")
+        )["m"]
+    )
     span = max_id + 1
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
     def tokens_partial(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -443,10 +460,12 @@ def q_pack_sequences(sf_dir: str):
             col = col.combine_chunks()
         la = pc.split_pattern(pc.fill_null(col, ""), " ")
         cnt = np.diff(la.offsets.to_numpy(zero_copy_only=False))
-        # non-empty word count: total items minus empty items per doc
-        words = np.asarray(la.values.to_pylist(), dtype=object)
+        # non-empty word count: total items minus zero-LENGTH items per
+        # doc — lengths come from the Arrow utf8_length kernel, no
+        # Python string materialization
+        lens = pc.utf8_length(la.values).to_numpy(zero_copy_only=False)
         doc_idx = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
-        n_empty = np.bincount(doc_idx[words == ""], minlength=len(cnt))
+        n_empty = np.bincount(doc_idx[lens == 0], minlength=len(cnt))
         n_tok = (cnt - n_empty).astype(np.int64)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
             np.int64
@@ -470,11 +489,13 @@ def q_pack_sequences(sf_dir: str):
             {"shard": b.column("shard"), "lang": b.column("lang"),
              "n_tokens": b.column("n_tokens")}
         ).to_pandas()
-        g = df.groupby(["shard", "lang"], as_index=False)["n_tokens"].sum()
+        g = df.groupby(
+            ["shard", "lang"], as_index=False, dropna=False
+        )["n_tokens"].sum()
         return pa.table(
             {
                 "shard": pa.array(g["shard"].to_numpy(np.int64)),
-                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "lang": pa.array(_str_keys(g["lang"]), pa.string()),
                 "tot": pa.array(g["n_tokens"].to_numpy(np.int64)),
             }
         )
@@ -487,7 +508,8 @@ def q_pack_sequences(sf_dir: str):
         .sort_values(["lang", "shard"])
     )
     totals["offset"] = (
-        totals.groupby("lang")["tot"].cumsum() - totals["tot"]
+        totals.groupby("lang", dropna=False)["tot"].cumsum()
+        - totals["tot"]
     )
     offsets = {
         (int(r["shard"]), r["lang"]): int(r["offset"])
@@ -512,7 +534,8 @@ def q_pack_sequences(sf_dir: str):
         shard = int(df["shard"].iloc[0])
         df = df.sort_values("doc_id", ignore_index=True)
         cum_before = (
-            df.groupby("lang")["n_tokens"].cumsum() - df["n_tokens"]
+            df.groupby("lang", dropna=False)["n_tokens"].cumsum()
+            - df["n_tokens"]
         ).to_numpy(np.int64)
         base = np.fromiter(
             (offs.get((shard, lang), 0) for lang in df["lang"]),

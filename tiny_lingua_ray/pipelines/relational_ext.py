@@ -31,6 +31,13 @@ import pyarrow.compute as pc
 
 from tiny_lingua_ray.tableutil import from_df as _from_df
 
+
+def _str_keys(series) -> list:
+    """Group-key series -> list for pa.array(..., pa.string()): pandas
+    represents a NULL group key (groupby dropna=False) as NaN, which
+    pa.string() rejects — map it back to None."""
+    return [None if pd.isna(v) else v for v in series]
+
 from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
 
 
@@ -1050,30 +1057,39 @@ def q_full_outer_user_days(sf_dir: str):
     purchase-day set: (user_id, day, n_clicks, n_purchases) where either
     count may be 0 — days with only clicks, only purchases, or both all
     appear.  Completes the join family (inner/left/semi/anti/as-of/band/
-    range/bloom).  Both sides pre-reduce to per-batch (user, day, n)
-    partials; ONE cogroup exchange on ``user % P``; per-shard pandas
-    outer merge with fillna."""
+    range/bloom).  ONE pass over events emits both tagged sides as
+    (user, day, side, n) partials (no second scan of the table); ONE
+    cogroup exchange on ``user % P``; per-shard pandas outer merge with
+    fillna."""
     P = 32
 
-    def prep(b: pa.Table, which: str) -> pa.Table:
-        m = pc.equal(b.column("event_type"), which)
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            b.column("event_type"),
+            value_set=pa.array(["click", "purchase"]),
+        )
         t = b.filter(m)
         ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        day = ts // 86_400_000_000  # µs -> days since epoch
         df = pd.DataFrame(
-            {"user_id": t.column("user_id").to_numpy(zero_copy_only=False),
-             "day": day}
+            {
+                "user_id": t.column("user_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "day": ts // 86_400_000_000,  # µs -> days since epoch
+                "side": pc.equal(t.column("event_type"), "purchase")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int8),
+            }
         )
-        g = df.groupby(["user_id", "day"], as_index=False).size()
+        g = df.groupby(["user_id", "day", "side"], as_index=False).size()
         uid = g["user_id"].to_numpy(np.int64)
-        side = np.int8(0 if which == "click" else 1)
         return pa.table(
             {
                 "shard": pa.array(uid % P),
                 "user_id": pa.array(uid),
                 "day": pa.array(g["day"].to_numpy(np.int64)),
                 "n": pa.array(g["size"].to_numpy(np.int64)),
-                "side": pa.array(np.full(len(uid), side, dtype=np.int8)),
+                "side": pa.array(g["side"].to_numpy(np.int8)),
             }
         )
 
@@ -1113,15 +1129,9 @@ def q_full_outer_user_days(sf_dir: str):
             }
         )
 
-    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
-    clicks = ev.map_batches(
-        prep, fn_kwargs={"which": "click"}, batch_format="pyarrow"
-    )
-    purch = ev.map_batches(
-        prep, fn_kwargs={"which": "purchase"}, batch_format="pyarrow"
-    )
     return (
-        clicks.union(purch)
+        _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(outer_in_shard, batch_format="pandas")
     )
@@ -1148,13 +1158,14 @@ def q_corr_qty_price(sf_dir: str):
         df["xx"] = df["x"] * df["x"]
         df["yy"] = df["y"] * df["y"]
         df["xy"] = df["x"] * df["y"]
-        g = df.groupby("f", as_index=False).agg(
+        # dropna=False: keep a NULL group like SQL GROUP BY
+        g = df.groupby("f", as_index=False, dropna=False).agg(
             n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
             sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"),
         )
         return pa.table(
             {
-                "l_returnflag": pa.array(g["f"].tolist(), pa.string()),
+                "l_returnflag": pa.array(_str_keys(g["f"]), pa.string()),
                 **{
                     c: pa.array(g[c].to_numpy(np.float64))
                     for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
@@ -1181,7 +1192,10 @@ def q_corr_qty_price(sf_dir: str):
     cov = out["sxy"] - out["sx"] * out["sy"] / n
     vx = out["sxx"] - out["sx"] ** 2 / n
     vy = out["syy"] - out["sy"] ** 2 / n
-    corr = cov / np.sqrt(vx * vy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # zero variance (or n == 1) -> NaN, matching SQL CORR NULL
+        denom = np.sqrt(vx * vy)
+        corr = np.where(denom > 0, cov / denom, np.nan)
     return pd.DataFrame(
         {
             "l_returnflag": out["l_returnflag"],
@@ -1212,7 +1226,23 @@ def q_global_rank_docs(sf_dir: str):
     P = 16
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    sample = docs.limit(4096).to_pandas()
+    # splitter sample: hash-strided over doc_id, NOT limit() — the first
+    # N rows reflect file order (corpora are often written grouped by
+    # source/length), which would collapse the buckets onto one worker.
+    # Correctness never depends on the sample, only balance does.
+    n_total = docs.count()
+    stride = max(1, n_total // 4096)
+
+    def strided(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        keep = ((ids * np.uint64(2654435761)) >> np.uint64(16)) % np.uint64(
+            stride
+        ) == 0
+        return b.filter(pa.array(keep))
+
+    sample = docs.map_batches(strided, batch_format="pyarrow").to_pandas()
     qs = np.quantile(
         sample["n_chars"].to_numpy(np.float64),
         np.linspace(0, 1, P + 1)[1:-1],
@@ -1292,12 +1322,16 @@ def q_value_stats(sf_dir: str):
             {"event_type": b.column("event_type"), "v": b.column("value")}
         ).to_pandas()
         df["v2"] = df["v"] * df["v"]
-        g = df.groupby("event_type", as_index=False).agg(
+        # dropna=False: SQL GROUP BY keeps a NULL group; pandas would
+        # silently drop those rows from the partial
+        g = df.groupby("event_type", as_index=False, dropna=False).agg(
             n=("v", "size"), s=("v", "sum"), s2=("v2", "sum")
         )
         return pa.table(
             {
-                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "event_type": pa.array(
+                    _str_keys(g["event_type"]), pa.string()
+                ),
                 "n": pa.array(g["n"].to_numpy(np.int64)),
                 "s": pa.array(g["s"].to_numpy(np.float64)),
                 "s2": pa.array(g["s2"].to_numpy(np.float64)),
@@ -1321,7 +1355,9 @@ def q_value_stats(sf_dir: str):
     s = out["s"].to_numpy(np.float64)
     s2 = out["s2"].to_numpy(np.float64)
     mean = s / n
-    var = (s2 - n * mean * mean) / (n - 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # n == 1 -> NaN, matching SQL VAR_SAMP/STDDEV_SAMP NULL
+        var = np.where(n > 1, (s2 - n * mean * mean) / (n - 1), np.nan)
     return pd.DataFrame(
         {
             "event_type": out["event_type"],
@@ -1450,13 +1486,15 @@ def q_bloom_semi_join(sf_dir: str):
         if len(hit) == 0:
             return empty
         g = (
-            hit.groupby("event_type", as_index=False)
+            hit.groupby("event_type", as_index=False, dropna=False)
             .size()
             .rename(columns={"size": "n_events"})
         )
         return pa.table(
             {
-                "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                "event_type": pa.array(
+                    _str_keys(g["event_type"]), pa.string()
+                ),
                 "n_events": pa.array(g["n_events"].to_numpy(np.int64)),
             }
         )

@@ -16,9 +16,18 @@ import heapq
 import numpy as np
 import pyarrow as pa
 
-from tiny_lingua_ray.pool import cpu_pool
-
 _HP_SEED = 7
+
+
+def _pick_queries(ds, query_ids, id_column: str):
+    """Filter the dataset to the query rows (tiny) as a pandas frame."""
+    qset = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        return batch.filter(pa.array(np.isin(ids, qset)))
+
+    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -85,14 +94,7 @@ def knn_brute_force(ds, query_ids, k: int = 5, id_column: str = "vec_id",
     import pandas as pd
 
     # fetch the query vectors (tiny: filter pushdown on the id column)
-    qset = set(int(q) for q in query_ids)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_column).to_pylist())
-        mask = np.isin(ids, list(qset))
-        return batch.filter(pa.array(mask))
-
-    qtab = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    qtab = _pick_queries(ds, query_ids, id_column)
     queries = {
         "ids": qtab[id_column].to_numpy(),
         "vectors": np.asarray(qtab[vec_column].tolist(), dtype=np.float64),
@@ -220,13 +222,7 @@ def knn_ivf(ds, query_ids, k: int = 5, n_cells: int = 16, n_probe: int = 4,
     exact brute force (tested)."""
     import pandas as pd
 
-    qset = set(int(q) for q in query_ids)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_column).to_pylist())
-        return batch.filter(pa.array(np.isin(ids, list(qset))))
-
-    qtab = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    qtab = _pick_queries(ds, query_ids, id_column)
     Q = _normalize(np.asarray(qtab[vec_column].tolist(), dtype=np.float64))
 
     # bounded training sample (driver holds <= sample_size rows)
@@ -333,12 +329,15 @@ def _pq_batch(batch: pa.Table, state_ref=None, state=None, k: int = 5,
     M = _normalize(_as_matrix(batch.column(vec_column)))
     R = len(ids)
 
-    # encode: [R, m] uint8 codes
-    codes = np.empty((R, m), dtype=np.int64)
+    # encode: [R, m] codes — uint8 (1 B/subspace, the advertised
+    # compression) whenever the codebook fits, which it does at any
+    # sane n_codes
+    code_dtype = np.uint8 if kc <= 256 else np.int64
+    codes = np.empty((R, m), dtype=code_dtype)
     for i in range(m):
         sub = M[:, i * d:(i + 1) * d]
         dist = (B[i] * B[i]).sum(axis=1) - 2.0 * (sub @ B[i].T)
-        codes[:, i] = dist.argmin(axis=1)
+        codes[:, i] = dist.argmin(axis=1).astype(code_dtype)
 
     qcol, ncol, scol = [], [], []
     for qi in range(len(qids)):
@@ -379,13 +378,7 @@ def knn_pq(ds, query_ids, k: int = 5, m_subspaces: int = 8,
     Same partial/merge shape as knn_brute_force."""
     import pandas as pd
 
-    qset = set(int(q) for q in query_ids)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_column).to_pylist())
-        return batch.filter(pa.array(np.isin(ids, list(qset))))
-
-    qtab = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    qtab = _pick_queries(ds, query_ids, id_column)
     Q = _normalize(np.asarray(qtab[vec_column].tolist(), dtype=np.float64))
 
     sample = ds.limit(sample_size).to_pandas()
