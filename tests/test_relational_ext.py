@@ -48,6 +48,7 @@ EXT_KEYS = (
     "full_outer_user_days",
     "corr_qty_price",
     "global_rank_docs",
+    "star_join_region_stats",
 )
 
 

@@ -665,6 +665,37 @@ def q_approx_quantiles_chars(sf_dir: str):
     return pd.DataFrame(out, columns=["quantile", "estimate"])
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Single-run view of the persistent-index incremental dedup
+    (state/dedup_index.py): with a FRESH index the semantics reduce to
+    exact keep-first, which the SQL window oracle verifies; the
+    cross-run index semantics (the operator's real purpose) are pinned
+    in tests/test_dedup_index.py."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from tiny_lingua_ray.state.dedup_index import incremental_exact_dedup
+
+    state = tempfile.mkdtemp(prefix="tlr_dedup_index_")
+    try:
+        out = (
+            incremental_exact_dedup(
+                rd.read_parquet(
+                    f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"],
+                ),
+                state,
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return out[["doc_id", "is_new"]]
+
+
 def _dedup_clusters_oracle(jaccard_pairs_sql: str) -> str:
     """Composed by queries.py from its own jaccard_pairs oracle so the
     pair set being closed over is literally the verified one."""
@@ -720,6 +751,7 @@ QUERIES_CORPUS = {
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "approx_quantiles_chars": q_approx_quantiles_chars,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLE_CORPUS = {
@@ -789,6 +821,11 @@ ORACLE_CORPUS = {
         FROM documents d JOIN c USING (lang)
         WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000
               < LEAST(1000000, (100 * 1000000) // c.n)
+    """,
+    "incremental_dedup": """
+        SELECT doc_id,
+               doc_id = MIN(doc_id) OVER (PARTITION BY text) AS is_new
+        FROM documents
     """,
     "decontaminate": """
         WITH probes AS (

@@ -1048,6 +1048,68 @@ def q_left_join_customer_orders(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Star join (two-hop broadcast over dimension tables)
+# ---------------------------------------------------------------------------
+
+
+def q_star_join_region_stats(sf_dir: str):
+    """TPC-H-style star join: customers x nation x region, aggregated to
+    (r_name, n_customers, avg_acctbal).  Both dimension tables are tiny
+    at ANY scale factor (25 nations / 5 regions in TPC-H), so they
+    compose into ONE nationkey -> region-name lookup on the driver,
+    broadcast once (ray.put); the fact table streams through a single
+    map with a vectorized gather — zero shuffles before the 5-row
+    aggregate."""
+    import ray
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    lut = nat.merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    ).set_index("n_nationkey")["r_name"]
+    # dense positional lookup: nationkeys are small ints
+    max_nk = int(lut.index.max())
+    names = np.array(
+        [lut.get(i, "") for i in range(max_nk + 1)], dtype=object
+    )
+    lut_ref = ray.put(names)
+
+    def partial(b: pa.Table) -> pa.Table:
+        nm = ray.get(lut_ref)
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        rname = nm[np.minimum(nk, len(nm) - 1)]
+        df = pd.DataFrame({"r_name": rname, "bal": bal})
+        g = df.groupby("r_name", as_index=False).agg(
+            n=("bal", "size"), s=("bal", "sum")
+        )
+        return pa.table(
+            {
+                "r_name": pa.array(g["r_name"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "s": pa.array(g["s"].to_numpy(np.float64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "r_name": out["r_name"],
+            "n_customers": out["n"].astype(np.int64),
+            "avg_acctbal": np.round(out["s"] / out["n"], 6),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Full outer join
 # ---------------------------------------------------------------------------
 
@@ -1684,6 +1746,7 @@ QUERIES_EXT = {
     "unpivot_event_counts": q_unpivot_event_counts,
     "left_join_customer_orders": q_left_join_customer_orders,
     "value_stats": q_value_stats,
+    "star_join_region_stats": q_star_join_region_stats,
 }
 
 
@@ -1830,6 +1893,15 @@ ORACLE_EXT = {
         LEFT JOIN orders o
           ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
         GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    "star_join_region_stats": """
+        SELECT r.r_name,
+               COUNT(*) AS n_customers,
+               ROUND(AVG(c.c_acctbal), 6) AS avg_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
     """,
     "full_outer_user_days": """
         WITH c AS (
