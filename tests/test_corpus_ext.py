@@ -248,3 +248,23 @@ def test_approx_quantiles_rank_guarantee(ray_session, ddb):
         ) / n
         assert cdf_at >= q - 1e-9, (q, est, cdf_at)
         assert cdf_below < q, (q, est, cdf_below)
+
+
+def test_image_near_dup_finds_seeded_twins(ray_session):
+    """Every synthetic image must pair with its re-ID'd twin at
+    hamming 0 (exact payload copy), and no non-twin pair may appear
+    below the banding threshold on these all-distinct payloads."""
+    from tiny_lingua_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["image_near_dup"](SF_DIR)
+    twins = {
+        (min(a, b), max(a, b))
+        for a, b in zip(out["id_a"], out["id_b"])
+        if out.loc[(out["id_a"] == a) & (out["id_b"] == b),
+                   "hamming"].iloc[0] == 0
+    }
+    expected = {(i, i + 10_000) for i in sorted({
+        min(a, b) for a, b in zip(out["id_a"], out["id_b"])})
+        if i < 10_000}
+    assert expected <= twins
+    assert (out["hamming"] == 0).all()  # random payloads: only twins

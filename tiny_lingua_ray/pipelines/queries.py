@@ -960,6 +960,58 @@ def q_cosine_near_dup(sf_dir: str):
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
+def q_image_near_dup(sf_dir: str):
+    """Perceptual image dedup: dHash (ImageFeatures actor pool) ->
+    Hamming<=3 pairs via the SAME pigeonhole-banding core as text
+    SimHash (stages/dedup.hamming_near_dup_pairs) — the multimodal
+    near-dup composition a mixed-media corpus needs.  Synthetic media
+    (no image parquet in the driver testdata) -> rows-only; the banding
+    core itself is SQL-oracle-verified through simhash_pairs."""
+    import ray.data as rd
+
+    from tiny_lingua_ray.sources.media import make_media_table
+    from tiny_lingua_ray.stages.dedup import hamming_near_dup_pairs
+    from tiny_lingua_ray.stages.multimodal import ImageFeatures
+
+    t = make_media_table(64)
+    # seed exact duplicates: a re-ID'd copy of every image (the synthetic
+    # payloads are otherwise all distinct), so every image must pair with
+    # its +10000 twin at hamming 0
+    dup = t.set_column(
+        t.schema.get_field_index("media_id"),
+        "media_id",
+        pc.add(t.column("media_id"), 10_000),
+    )
+    t = pa.concat_tables([t, dup])
+    sigs = (
+        rd.from_arrow(t)
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("kind"), "image")),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            ImageFeatures,
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=2,
+            num_cpus=1,
+        )
+        .select_columns(["media_id", "dhash"])
+    )
+    out = hamming_near_dup_pairs(
+        sigs, max_hamming=3, id_column="media_id", hash_column="dhash"
+    ).to_pandas()
+    if len(out) == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 def q_langid_fallback(sf_dir: str):
     _ensure_models_once()
     """LangId + fastText-style fallback chain over documents."""
@@ -1096,6 +1148,7 @@ QUERIES = {
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "video_features": q_video_features,
+    "image_near_dup": q_image_near_dup,
     "langid_fallback": q_langid_fallback,
     "langid_confidences": q_langid_confidences,
     "multilang_sections": q_multilang_sections,

@@ -500,17 +500,33 @@ def simhash_near_dup_pairs(
     bands).  ``scheme="md5"`` makes the whole operator SQL-verifiable via
     the simhash oracle + bit_count(xor) self-join.
     """
-    assert max_hamming < 16 * (_SIMHASH_BANDS - 1) and max_hamming < _SIMHASH_BANDS, (
-        "banding guarantee requires max_hamming < number of bands"
-    )
-    import pandas as pd
-
     sigs = ds.map_batches(
         simhash_batch,
         fn_kwargs={"text_column": text_column, "id_column": id_column,
                    "scheme": scheme},
         batch_format="pyarrow",
     )
+    return hamming_near_dup_pairs(
+        sigs, max_hamming=max_hamming, id_column=id_column,
+        hash_column="simhash",
+    )
+
+
+def hamming_near_dup_pairs(
+    sigs,
+    max_hamming: int = 3,
+    id_column: str = "doc_id",
+    hash_column: str = "simhash",
+):
+    """(id_a, id_b, hamming) pairs over ANY precomputed uint64 sketch
+    column — the pigeonhole-banding core shared by text SimHash
+    (simhash_near_dup_pairs) and perceptual image dHash
+    (pipelines.queries.q_image_near_dup).  Same guarantee: 4 x 16-bit
+    bands catch every pair with hamming <= 3."""
+    assert max_hamming < 16 * (_SIMHASH_BANDS - 1) and max_hamming < _SIMHASH_BANDS, (
+        "banding guarantee requires max_hamming < number of bands"
+    )
+    import pandas as pd
 
     def explode(b: pa.Table) -> pa.Table:
         ids = b.column(id_column).to_numpy(zero_copy_only=False).astype(
@@ -520,7 +536,7 @@ def simhash_near_dup_pairs(
             raise ValueError(
                 f"{id_column} >= 2^32 cannot be packed into a 64-bit pair key"
             )
-        sh = b.column("simhash").to_numpy(zero_copy_only=False).astype(
+        sh = b.column(hash_column).to_numpy(zero_copy_only=False).astype(
             np.uint64
         )
         n = len(ids)
@@ -540,7 +556,7 @@ def simhash_near_dup_pairs(
                 "band": pa.array(band),
                 "bucket": pa.array(bucket.astype(np.int64)),
                 id_column: pa.array(rid),
-                "simhash": pa.array(rsh, pa.uint64()),
+                hash_column: pa.array(rsh, pa.uint64()),
             }
         )
 
@@ -553,7 +569,7 @@ def simhash_near_dup_pairs(
     def pairs_in_group(df: pd.DataFrame) -> pa.Table:
         import logging
 
-        u = df[["band", "bucket", id_column, "simhash"]].drop_duplicates(
+        u = df[["band", "bucket", id_column, hash_column]].drop_duplicates(
             ["band", "bucket", id_column]
         )
         u = u.sort_values(["band", "bucket", id_column], kind="stable")
@@ -568,7 +584,7 @@ def simhash_near_dup_pairs(
             )
             u, pos = u[~over], pos[~over]
         ids = u[id_column].to_numpy().astype(np.uint64)
-        hashes = u["simhash"].to_numpy().astype(np.uint64)
+        hashes = u[hash_column].to_numpy().astype(np.uint64)
         starts = np.flatnonzero(pos == 0)
         sizes = np.diff(np.append(starts, len(ids)))
         key_parts, hd_parts = [], []
