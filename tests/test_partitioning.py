@@ -1,0 +1,121 @@
+"""Skew-aware partitioning (stages/partitioning.py): hot-key detection
+and salted two-phase map_groups equivalence."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toy_ds():
+    """60 rows, key 'hot' holds 2/3 of them."""
+    import ray
+
+    keys = ["hot"] * 40 + ["a"] * 10 + ["b"] * 10
+    vals = list(range(60))
+    return ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    )
+
+
+def test_detect_hot_keys_toy(ray_session):
+    from tiny_lingua_ray.stages.partitioning import detect_hot_keys, key_shares
+
+    ds = _toy_ds()
+    shares = key_shares(ds, "k")
+    assert shares.iloc[0]["k"] == "hot"
+    assert abs(shares.iloc[0]["share"] - 40 / 60) < 1e-9
+    assert detect_hot_keys(ds, "k", threshold=0.5) == frozenset({"hot"})
+    assert detect_hot_keys(ds, "k", threshold=0.05) == frozenset({"hot", "a", "b"})
+
+
+def test_detect_hot_keys_lang_skew(ray_session):
+    """The documents corpus is Zipf-skewed on lang: en alone is hot."""
+    import ray
+
+    from tiny_lingua_ray.stages.partitioning import detect_hot_keys
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["lang"])
+    hot = detect_hot_keys(ds, "lang", threshold=0.25)
+    assert hot == frozenset({"en"})
+
+
+@pytest.mark.parametrize("n_salt", [1, 8])
+def test_salted_map_groups_matches_unsalted(ray_session, n_salt):
+    """merge(partials) == direct per-key computation, for any salt
+    fan-out (n_salt=1 degenerates to the unsalted two-phase)."""
+    from tiny_lingua_ray.stages.partitioning import salted_map_groups
+
+    def group_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": [df["k"].iloc[0]],
+                "n": [len(df)],
+                "s": [int(df["v"].sum())],
+            }
+        )
+
+    def merge_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": [df["k"].iloc[0]],
+                "n": [int(df["n"].sum())],
+                "s": [int(df["s"].sum())],
+            }
+        )
+
+    out = (
+        salted_map_groups(
+            _toy_ds(), "k", group_fn, merge_fn, n_salt=n_salt, hot_threshold=0.5
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    exp = pd.DataFrame(
+        {"k": ["a", "b", "hot"], "n": [10, 10, 40], "s": [445, 545, 780]}
+    )
+    pd.testing.assert_frame_equal(out[["k", "n", "s"]], exp)
+
+
+def test_salt_column_bounds_hot_groups(ray_session):
+    """Hot-key rows are spread over n_salt salt values; cold keys keep
+    salt 0 (single group, no extra shuffle width)."""
+    from tiny_lingua_ray.stages.partitioning import SALT_COL, add_salt
+
+    df = add_salt(_toy_ds(), "k", frozenset({"hot"}), n_salt=4).to_pandas()
+    hot = df[df["k"] == "hot"]
+    cold = df[df["k"] != "hot"]
+    assert set(cold[SALT_COL]) == {0}
+    assert set(hot[SALT_COL]) == {0, 1, 2, 3}
+    # bounded: no salted sub-group larger than ~|hot|/n_salt
+    assert hot.groupby(SALT_COL).size().max() <= 40 / 4 + 1
+
+
+def test_lang_word_top5_oracle(ray_session):
+    """End-to-end parity of the salted query vs DuckDB at sf0.001."""
+    import duckdb
+
+    from tiny_lingua_ray.pipelines.corpus_ext import ORACLE_CORPUS, q_lang_word_top5
+
+    out = q_lang_word_top5(SF)
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    df = df.sort_values(
+        ["lang", "cnt", "word"], ascending=[True, False, True], ignore_index=True
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    exp = (
+        con.execute(ORACLE_CORPUS["lang_word_top5"])
+        .df()
+        .sort_values(
+            ["lang", "cnt", "word"], ascending=[True, False, True], ignore_index=True
+        )
+    )
+    df["cnt"] = df["cnt"].astype("int64")
+    exp["cnt"] = exp["cnt"].astype("int64")
+    pd.testing.assert_frame_equal(df[["lang", "word", "cnt"]], exp[["lang", "word", "cnt"]])

@@ -738,8 +738,65 @@ def _dedup_keep_first_oracle(jaccard_pairs_sql: str) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Skew-aware salted map_groups (explicit hot-key handling)
+# ---------------------------------------------------------------------------
+
+_TOPW_K = 5
+
+
+def q_lang_word_top5(sf_dir: str):
+    """Top-5 words per language via EXPLICIT hot-key salting
+    (stages/partitioning.salted_map_groups): ``lang`` is genuinely
+    Zipf-skewed in the corpus (en ~ 44% of rows), so a naive
+    ``groupby("lang").map_groups(count words)`` ships almost half the
+    text to ONE reducer.  Instead: detect hot keys with a counting
+    pre-pass, spread each hot key over n_salt (lang, salt) groups whose
+    per-group word counts are the mergeable partials, then merge the
+    (word-cardinality, text-free) partials per lang and take top-5.
+
+    Demonstrates level-3 skew handling (true map_groups semantics);
+    for a plain top-k the level-1 batch-partial idiom
+    (q_word_freq_top20) needs no grouping on the skewed key at all."""
+    from tiny_lingua_ray.stages.partitioning import salted_map_groups
+
+    def count_words(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update((t or "").lower().split(" "))
+        c.pop("", None)
+        return pd.DataFrame(
+            {
+                "lang": df["lang"].iloc[0],
+                "word": list(c.keys()),
+                "cnt": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+            }
+        )
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", as_index=False)["cnt"].sum()
+        g["lang"] = df["lang"].iloc[0]
+        g = g.sort_values(
+            ["cnt", "word"], ascending=[False, True], ignore_index=True
+        ).head(_TOPW_K)
+        return g[["lang", "word", "cnt"]]
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    return salted_map_groups(
+        ds,
+        "lang",
+        count_words,
+        merge_topk,
+        n_salt=8,
+        hot_threshold=0.25,
+    )
+
+
 QUERIES_CORPUS = {
     "tfidf_top_terms": q_tfidf_top_terms,
+    "lang_word_top5": q_lang_word_top5,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_first": q_dedup_keep_first,
     "approx_distinct_users": q_approx_distinct_users,
@@ -755,6 +812,19 @@ QUERIES_CORPUS = {
 }
 
 ORACLE_CORPUS = {
+    "lang_word_top5": """
+        WITH counts AS (
+          SELECT lang, word, COUNT(*) AS cnt FROM (
+            SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+          WHERE word <> '' GROUP BY lang, word)
+        SELECT lang, word, cnt FROM (
+          SELECT lang, word, cnt,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, word) AS rk
+          FROM counts)
+        WHERE rk <= 5
+    """,
     "tfidf_top_terms": """
         WITH w AS (
           SELECT lang, word, COUNT(*) AS tf FROM (

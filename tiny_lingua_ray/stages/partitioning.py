@@ -1,0 +1,130 @@
+"""Explicit skew-aware partitioning (north rule: "partitioning / shuffle /
+skew handled explicitly").
+
+The repo defends against key skew at three levels, in preference order:
+
+1. **Algebraic partial aggregation** inside ``map_batches`` — no per-key
+   co-location at all; only (key, partial) rows ride the shuffle
+   (``pipelines/queries.py`` partial-agg idiom, used by every SUM/COUNT/
+   AVG/top-k query).
+2. **(key, value)-count histograms** for holistic stats — percentiles,
+   mode, medians reduce to a small exact histogram before any grouping
+   (``pipelines/relational_ext.q_group_percentiles``).
+3. **This module** — for true ``map_groups`` semantics on a skewed key,
+   where a per-group function must see whole groups and the hot key would
+   otherwise concentrate on one reducer: detect hot keys from a cheap
+   counting pre-pass, then run a salted TWO-PHASE combine that bounds any
+   single Ray group to ~|hot key| / n_salt rows.
+
+Related per-operator guards: LSH hot-bucket caps
+(``stages/dedup.MAX_BUCKET``, ``stages/similarity.MAX_COS_BUCKET``) and
+value-offset bucketing in ``relational_ext`` (global rank).
+
+At cluster scale the same functions apply unchanged: ``detect_hot_keys``
+is one partial-count pass (tiny result), and the salt column simply
+widens the shuffle key space — no driver materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tiny_lingua_ray.tableutil import from_df as _from_df
+
+SALT_COL = "__salt"
+
+
+def key_shares(ds, key: str) -> pd.DataFrame:
+    """Per-key row share via per-batch count partials -> one tiny
+    groupby.  Returns columns (key, n, share) sorted by share desc;
+    size = key cardinality (callers use it for LOW-cardinality group
+    keys; for high-cardinality keys sample first)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = (
+            pa.table({key: b.column(key)})
+            .to_pandas()
+            .groupby(key, as_index=False, dropna=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return _from_df(df)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    total = int(counts["n"].sum())
+    counts["share"] = counts["n"] / max(total, 1)
+    return counts.sort_values("share", ascending=False, ignore_index=True)
+
+
+def detect_hot_keys(ds, key: str, threshold: float = 0.05) -> frozenset:
+    """Keys holding more than ``threshold`` of all rows.  One cheap
+    counting pass (partial counts, no text columns — select upstream);
+    the result is driver-small (bounded by 1/threshold entries)."""
+    shares = key_shares(ds, key)
+    hot = shares.loc[shares["share"] > threshold, key]
+    return frozenset(hot.tolist())
+
+
+def add_salt(ds, key: str, hot_keys: frozenset, n_salt: int):
+    """Append ``__salt``: 0 for cold keys, a row-cycling 0..n_salt-1 for
+    hot keys, so ``groupby([key, __salt])`` bounds every Ray group to
+    ~|hot key| / n_salt rows.  Salt assignment is arbitrary by design —
+    any partition of a hot key's rows merges to the same final answer,
+    so no stable row id is required."""
+    hot = hot_keys  # closure copy; frozenset is ray.put-friendly and tiny
+
+    def salt_batch(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_pylist()
+        is_hot = np.fromiter((v in hot for v in k), dtype=bool, count=len(k))
+        salt = np.where(is_hot, np.arange(len(k)) % n_salt, 0).astype(np.int64)
+        # metadata-free: pandas schema blobs are unhashable in pyarrow 16
+        # and defeat Ray's shuffle schema dedup (see tableutil.from_df)
+        return b.append_column(
+            SALT_COL, pa.array(salt)
+        ).replace_schema_metadata(None)
+
+    return ds.map_batches(salt_batch, batch_format="pyarrow")
+
+
+def salted_map_groups(
+    ds,
+    key: str,
+    group_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    *,
+    n_salt: int = 16,
+    hot_keys: frozenset | None = None,
+    hot_threshold: float = 0.05,
+):
+    """Two-phase skew-safe ``groupby(key).map_groups``.
+
+    Phase 1 groups by (key, salt) — a hot key's rows are spread across
+    ``n_salt`` groups — and applies ``group_fn`` (raw rows -> partial
+    rows, must include ``key``).  Phase 2 groups the (much smaller)
+    partials by ``key`` alone and applies ``merge_fn`` (partials ->
+    final rows).  ``group_fn``'s output must be mergeable: merge_fn(
+    concat(partials)) == merge_fn(group_fn(all rows)).
+
+    When ``hot_keys`` is None they are detected with an extra counting
+    pass; pass a precomputed frozenset to skip it."""
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(ds, key, hot_threshold)
+
+    def phase1(df: pd.DataFrame) -> pd.DataFrame:
+        return group_fn(df.drop(columns=[SALT_COL]))
+
+    salted = add_salt(ds, key, hot_keys, n_salt)
+    partials = salted.groupby([key, SALT_COL]).map_groups(
+        phase1, batch_format="pandas"
+    )
+    return partials.groupby(key).map_groups(merge_fn, batch_format="pandas")
