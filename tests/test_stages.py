@@ -236,3 +236,59 @@ def test_multiformat_missing_column_fails_loudly(ray_session, tmp_path):
     pd.DataFrame({"doc_id": [1], "text": ["x"]}).to_csv(bad, index=False)
     with pytest.raises(Exception, match="missing required column"):
         read_documents(str(bad), fmt="csv").materialize()
+
+
+def test_levenshtein_capped_matches_reference_dp():
+    """Fuzz the banded numpy kernel against a plain O(n*m) DP, including
+    the early-exit cap semantics (returns cap+1 once exceeded)."""
+    import random
+
+    from tiny_lingua_ray.stages.dedup import levenshtein_capped
+
+    def ref(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    rng = random.Random(7)
+    alpha = "abcde"
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 30)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 30)))
+        for cap in (0, 1, 3, 10, 100):
+            want = min(ref(a, b), cap + 1)
+            assert levenshtein_capped(a, b, cap) == want, (a, b, cap)
+
+
+def test_attach_pair_texts_delivers_both_sides(ray_session):
+    """The tagged-union cogroup must hand every candidate pair exactly its
+    two texts, with ids and text sides matching the pair orientation."""
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.dedup import attach_pair_texts
+
+    docs = rd.from_items(
+        [{"doc_id": i, "text": f"text number {i}"} for i in range(20)]
+    )
+    pairs = rd.from_items(
+        [{"id_a": 0, "id_b": 7}, {"id_a": 3, "id_b": 19},
+         {"id_a": 5, "id_b": 6}]
+    )
+    got = (
+        attach_pair_texts(docs, pairs, num_shards=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(got["id_a"]) == [0, 3, 5]
+    assert list(got["id_b"]) == [7, 19, 6]
+    assert list(got["text_a"]) == ["text number 0", "text number 3",
+                                   "text number 5"]
+    assert list(got["text_b"]) == ["text number 7", "text number 19",
+                                   "text number 6"]

@@ -592,6 +592,49 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(ds, max_hamming=3, scheme="md5")
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """Near-dup candidates (SimHash hamming <= 3, md5 scheme) verified by
+    EXACT edit distance <= 10: candidates stay a Dataset, texts are
+    delivered through the attach_pair_texts tagged-union cogroup (one
+    text exchange, no driver pair map), and the banded
+    levenshtein_capped kernel early-exits at the cap — the per-pair DP
+    is the intended cost model (candidates are rare after banding; the
+    cap bounds each at O(len * cap)).  The oracle replays the whole
+    chain: simhash CTE self-join + DuckDB levenshtein()."""
+    from tiny_lingua_ray.stages.dedup import (
+        attach_pair_texts,
+        levenshtein_capped,
+        simhash_near_dup_pairs,
+    )
+
+    K = 10
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32)
+    cands = simhash_near_dup_pairs(docs, max_hamming=3, scheme="md5")
+    paired = attach_pair_texts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32),
+        cands,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        ed = np.fromiter(
+            (levenshtein_capped(x or "", y or "", K) for x, y in zip(ta, tb)),
+            dtype=np.int64,
+            count=len(ta),
+        )
+        keep = ed <= K
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "edit_dist": pa.array(ed[keep]),
+            }
+        )
+
+    return paired.map_batches(verify, batch_format="pyarrow")
+
+
 def q_fingerprint(sf_dir: str):
     from tiny_lingua_ray.stages.textstats import fingerprint_batch
 
@@ -1137,6 +1180,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
+    "edit_distance_pairs": q_edit_distance_pairs,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1556,6 +1600,15 @@ def _simhash_pairs_oracle() -> str:
 
 
 ORACLE["simhash_pairs"] = _simhash_pairs_oracle()
+ORACLE["edit_distance_pairs"] = f"""
+    WITH cand AS ({_simhash_pairs_oracle()})
+    SELECT c.id_a, c.id_b,
+           levenshtein(da.text, db.text) AS edit_dist
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    WHERE levenshtein(da.text, db.text) <= 10
+"""
 ORACLE["minhash_dedup"] = _minhash_oracle()
 
 # Extended join / window / split operators (round 2) — see relational_ext.py

@@ -24,6 +24,7 @@ md5_number_lower -> the whole sketch is SQL-oracle-verifiable).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from tiny_lingua_ray.models.train import fnv1a_64, fnv1a_64_batch
@@ -631,3 +632,153 @@ def hamming_near_dup_pairs(
         .groupby("shard")
         .map_groups(dedup_shard, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise text delivery + edit-distance verification
+# ---------------------------------------------------------------------------
+
+
+def attach_pair_texts(docs, pairs, num_shards: int = 16,
+                      text_column: str = "text", id_column: str = "doc_id"):
+    """Deliver both texts to every candidate pair WITHOUT a driver-side
+    pair map: the tagged-union cogroup idiom (same skeleton as
+    jaccard_pairs_dataset / relational_ext joins), reusable by any
+    pairwise verifier (edit distance, diff, embedding compare).
+
+    1. cogroup on ``doc_id % P``: pair "requests" (two rows per pair,
+       tagged with which side the doc fills) union the corpus; per
+       shard each request picks up its doc's text — text crosses
+       exactly ONE exchange and non-candidate docs are dropped
+       in-shard.
+    2. cogroup on ``pair_key % P``: the two sides of a pair meet; emit
+       (id_a, id_b, text_a, text_b).
+
+    Ids must fit in 32 bits (asserted) — pair_key packs (a << 32) | b
+    like the jaccard path."""
+    P = num_shards
+
+    def emit_requests(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (a.max() >= 2**32 or b.max() >= 2**32):
+            raise ValueError("attach_pair_texts packs ids into 32 bits")
+        pk = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        doc = np.concatenate([a, b])
+        pk2 = np.concatenate([pk, pk]).astype(np.int64)  # int64 view
+        ab = np.concatenate(
+            [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]
+        )
+        return pa.table(
+            {
+                "shard": pa.array(doc % P),
+                "doc_id": pa.array(doc),
+                "pair_key": pa.array(pk2),
+                "ab": pa.array(ab),
+                "txt": pa.nulls(len(doc), pa.string()),
+                "role": pa.array(np.zeros(len(doc), np.int8)),
+            }
+        )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n = len(ids)
+        return pa.table(
+            {
+                "shard": pa.array(ids % P),
+                "doc_id": pa.array(ids),
+                "pair_key": pa.array(np.zeros(n, np.int64)),
+                "ab": pa.array(np.zeros(n, np.int8)),
+                "txt": batch.column(text_column),
+                "role": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    empty_sides = pa.table(
+        {
+            "shard2": pa.array([], pa.int64()),
+            "pair_key": pa.array([], pa.int64()),
+            "ab": pa.array([], pa.int8()),
+            "txt": pa.array([], pa.string()),
+        }
+    )
+
+    def deliver(df: pd.DataFrame) -> pa.Table:
+        req = df[df["role"] == 0]
+        if len(req) == 0:
+            return empty_sides
+        txt = df[df["role"] == 1]
+        lookup = pd.Series(
+            txt["txt"].to_numpy(), index=txt["doc_id"].to_numpy()
+        )
+        got = lookup.reindex(req["doc_id"].to_numpy())
+        present = got.notna().to_numpy() | got.index.isin(txt["doc_id"])
+        pk = req["pair_key"].to_numpy()[present]
+        return pa.table(
+            {
+                "shard2": pa.array(
+                    (pk.astype(np.uint64) % np.uint64(P)).astype(np.int64)
+                ),
+                "pair_key": pa.array(pk),
+                "ab": pa.array(req["ab"].to_numpy()[present]),
+                "txt": pa.array(got.to_numpy()[present], pa.string()),
+            }
+        )
+
+    empty_pairs = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "text_a": pa.array([], pa.string()),
+            "text_b": pa.array([], pa.string()),
+        }
+    )
+
+    def pivot(df: pd.DataFrame) -> pa.Table:
+        sa = df[df["ab"] == 0].set_index("pair_key")["txt"]
+        sb = df[df["ab"] == 1].set_index("pair_key")["txt"]
+        pk = sa.index.intersection(sb.index).to_numpy()
+        if len(pk) == 0:
+            return empty_pairs
+        k = pk.astype(np.uint64)
+        return pa.table(
+            {
+                "id_a": pa.array((k >> np.uint64(32)).astype(np.int64)),
+                "id_b": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "text_a": pa.array(sa.loc[pk].to_numpy(), pa.string()),
+                "text_b": pa.array(sb.loc[pk].to_numpy(), pa.string()),
+            }
+        )
+
+    tagged = pairs.map_batches(emit_requests, batch_format="pyarrow").union(
+        docs.map_batches(tag_docs, batch_format="pyarrow")
+    )
+    sides = tagged.groupby("shard").map_groups(deliver, batch_format="pandas")
+    return sides.groupby("shard2").map_groups(pivot, batch_format="pandas")
+
+
+def levenshtein_capped(a: str, b: str, cap: int) -> int:
+    """min(levenshtein(a, b), cap + 1) — banded early-exit DP, numpy row
+    kernel (the insertion recurrence folds into one
+    np.minimum.accumulate: min over k<=j of cur[k] + (j-k))."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    ar = np.arange(lb + 1, dtype=np.int32)
+    prev = ar.copy()
+    cur = np.empty(lb + 1, np.int32)
+    for i, ca in enumerate(a, 1):
+        cur[0] = i
+        cur[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (bb != ord(ca)))
+        cur = np.minimum.accumulate(cur - ar) + ar
+        if cur.min() > cap:
+            return cap + 1
+        prev, cur = cur, prev
+    return min(int(prev[-1]), cap + 1)
