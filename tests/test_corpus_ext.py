@@ -30,7 +30,9 @@ def ddb():
     "key",
     ["tfidf_top_terms", "dedup_clusters", "dedup_keep_first", "simhash_pairs",
      "repetition_signals", "source_stats", "lang_balanced_sample",
-     "pack_sequences", "decontaminate", "incremental_dedup"],
+     "pack_sequences", "decontaminate", "incremental_dedup",
+     "edit_distance_pairs", "event_sequences", "zscore_outliers",
+     "paragraph_dedup"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES

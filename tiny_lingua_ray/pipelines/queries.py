@@ -1158,6 +1158,232 @@ def q_quality_filter_flagship(sf_dir: str):
     return quality_filter_dataset(ds, cfg)
 
 
+def q_event_sequences(sf_dir: str):
+    """Per-user ORDERED event-type sequence (behavioral n-gram input):
+    shard = user_id % P, ONE pandas-C lexsort + groupby-join per shard —
+    the ordered-collect (string_agg ... ORDER BY) primitive.  All events
+    of a user land in one shard, so the in-shard sort is globally
+    correct per user; ties on ts break by event_id (unique)."""
+    P = 16
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array((uid % P).astype(np.int64))
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "seq": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+
+    def collect_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        order = np.lexsort(
+            (df["event_id"].to_numpy(), ts, df["user_id"].to_numpy())
+        )
+        d = df.iloc[order]
+        g = (
+            d.groupby("user_id", sort=False)["event_type"]
+            .agg(seq=">".join, n_events="size")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "seq": pa.array(g["seq"], pa.string()),
+                "n_events": pa.array(
+                    g["n_events"].to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(collect_in_shard, batch_format="pandas")
+    )
+
+
+def q_zscore_outliers(sf_dir: str):
+    """Per-language z-score outlier filter (|z| > 1.5 on n_chars): the
+    broadcast-sufficient-stats idiom — per-block partials (lang, n, sum,
+    sumsq) reduce to a per-language table that is tiny (O(languages)),
+    merged on the driver and shipped once via ``ray.put``; the filter
+    pass then streams with NO shuffle.  This is how a 100-TB
+    quality-trim runs: two linear scans, zero exchanges."""
+    import ray
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": b.column("lang").to_pandas(),
+                "x": b.column("n_chars").to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            }
+        )
+        g = df.groupby("lang", sort=False)["x"].agg(["size", "sum"])
+        sq = df.assign(x2=df["x"] * df["x"]).groupby("lang", sort=False)[
+            "x2"
+        ].sum()
+        return pa.table(
+            {
+                "lang": pa.array(g.index.astype(str), pa.string()),
+                "n": pa.array(g["size"].to_numpy(), pa.int64()),
+                "s": pa.array(g["sum"].to_numpy(), pa.float64()),
+                "ss": pa.array(sq.to_numpy(), pa.float64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "documents", columns=["lang", "n_chars"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()  # O(languages x blocks) rows — bounded, tiny
+    )
+    tot = parts.groupby("lang", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")
+    )
+    mean = tot["s"] / tot["n"]
+    var = tot["ss"] / tot["n"] - mean * mean
+    sd = np.sqrt(np.maximum(var.to_numpy(), 0.0))
+    stats = {
+        lang: (m, d)
+        for lang, m, d in zip(tot["lang"], mean.to_numpy(), sd)
+        if d > 0.0
+    }
+    stats_ref = ray.put(stats)
+
+    def flag(b: pa.Table, *, stats_ref) -> pa.Table:
+        st = ray.get(stats_ref) if hasattr(stats_ref, "hex") else stats_ref
+        lang = pd.Series(b.column("lang").to_pandas())
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        m = lang.map({k: v[0] for k, v in st.items()}).to_numpy(np.float64)
+        d = lang.map({k: v[1] for k, v in st.items()}).to_numpy(np.float64)
+        with np.errstate(invalid="ignore"):
+            z = (x - m) / d
+        keep = np.abs(z) > 1.5
+        keep &= ~np.isnan(z)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").filter(pa.array(keep)),
+                "lang": b.column("lang").filter(pa.array(keep)),
+                "n_chars": b.column("n_chars").filter(pa.array(keep)),
+                "z": pa.array(np.round(z[keep], 6)),
+            }
+        )
+
+    return _read(
+        sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(
+        flag, fn_kwargs={"stats_ref": stats_ref}, batch_format="pyarrow"
+    )
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph-level exact dedup with in-order document
+    reassembly.  The corpus has no newline structure, so a "paragraph"
+    is a fixed 20-word chunk (documented, matched by the oracle).
+
+    Three stages, two exchanges:
+      1. stateless chunker: (doc_id, pno, para), shard1 = hash(para) % P
+         — every copy of a paragraph lands in one shard;
+      2. per-shard first-occurrence keep: group by the para STRING (the
+         hash only routes; no collision risk) and keep rows whose packed
+         (doc_id, pno) key is the group min;
+      3. reassembly: shard2 = doc_id % P, per-doc pno-ordered join.
+    Docs whose every paragraph was a duplicate drop out (match oracle).
+    """
+    from tiny_lingua_ray.models.train import fnv1a_64_batch
+
+    W, P = 20, 16
+
+    def chunk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        did, pno, para = [], [], []
+        for i, t in zip(ids, texts):
+            ws = (t or "").split(" ")
+            for j in range(0, len(ws), W):
+                did.append(i)
+                pno.append(j // W)
+                para.append(" ".join(ws[j : j + W]))
+        h = fnv1a_64_batch(para)
+        return pa.table(
+            {
+                "shard": pa.array(
+                    (h % np.uint64(P)).astype(np.int64)
+                ),
+                "doc_id": pa.array(did, pa.int64()),
+                "pno": pa.array(pno, pa.int64()),
+                "para": pa.array(para, pa.string()),
+            }
+        )
+
+    empty_kept = pa.table(
+        {
+            "shard2": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "pno": pa.array([], pa.int64()),
+            "para": pa.array([], pa.string()),
+        }
+    )
+
+    def keep_first(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty_kept
+        packed = df["doc_id"].to_numpy() * 100_000 + df["pno"].to_numpy()
+        first = pd.Series(packed).groupby(
+            df["para"].to_numpy(), sort=False
+        ).transform("min")
+        m = packed == first.to_numpy()
+        return pa.table(
+            {
+                "shard2": pa.array(df["doc_id"].to_numpy()[m] % P),
+                "doc_id": pa.array(df["doc_id"].to_numpy()[m]),
+                "pno": pa.array(df["pno"].to_numpy()[m]),
+                "para": pa.array(df["para"].to_numpy()[m], pa.string()),
+            }
+        )
+
+    empty_docs = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+
+    def reassemble(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty_docs
+        d = df.sort_values(["doc_id", "pno"])
+        g = d.groupby("doc_id", sort=False)["para"].agg(" ".join)
+        return pa.table(
+            {
+                "doc_id": pa.array(g.index.to_numpy(), pa.int64()),
+                "text": pa.array(g.to_numpy(), pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(chunk, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(keep_first, batch_format="pandas")
+        .groupby("shard2")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -1181,6 +1407,9 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "event_sequences": q_event_sequences,
+    "zscore_outliers": q_zscore_outliers,
+    "paragraph_dedup": q_paragraph_dedup,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1610,6 +1839,42 @@ ORACLE["edit_distance_pairs"] = f"""
     WHERE levenshtein(da.text, db.text) <= 10
 """
 ORACLE["minhash_dedup"] = _minhash_oracle()
+ORACLE["event_sequences"] = """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+"""
+ORACLE["zscore_outliers"] = """
+    WITH s AS (
+      SELECT lang, SUM(n_chars) * 1.0 / COUNT(*) AS m,
+             SQRT(GREATEST(
+               SUM(n_chars * n_chars * 1.0) / COUNT(*)
+               - POW(SUM(n_chars) * 1.0 / COUNT(*), 2), 0.0)) AS sd
+      FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars,
+           ROUND((d.n_chars - s.m) / s.sd, 6) AS z
+    FROM documents d JOIN s ON s.lang = d.lang
+    WHERE s.sd > 0 AND ABS((d.n_chars - s.m) / s.sd) > 1.5
+"""
+ORACLE["paragraph_dedup"] = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    paras AS (
+      SELECT doc_id, i AS pno,
+             array_to_string(ws[(i*20+1):((i+1)*20)], ' ') AS para
+      FROM w, LATERAL (
+        SELECT UNNEST(generate_series(
+          0, CAST(CEIL(len(ws) / 20.0) AS INT) - 1)) AS i) t),
+    firsts AS (
+      SELECT para, MIN(doc_id * 100000 + pno) AS fk
+      FROM paras GROUP BY para)
+    SELECT p.doc_id, string_agg(p.para, ' ' ORDER BY p.pno) AS text
+    FROM paras p
+    JOIN firsts f
+      ON f.para = p.para AND p.doc_id * 100000 + p.pno = f.fk
+    GROUP BY p.doc_id
+"""
 
 # Extended join / window / split operators (round 2) — see relational_ext.py
 from tiny_lingua_ray.pipelines.relational_ext import (  # noqa: E402
