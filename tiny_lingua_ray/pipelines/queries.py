@@ -1384,6 +1384,121 @@ def q_paragraph_dedup(sf_dir: str):
     )
 
 
+def q_bigram_top20(sf_dir: str):
+    """Corpus-wide adjacent-bigram top-20 (the count table feeding PMI /
+    collocation mining): same exhaustive shard-topk scheme as
+    q_word_freq_top20 — per-batch Counter partials over zipped word
+    pairs, shard = hash(bigram) % P so a bigram's global count lives in
+    ONE shard, per-shard top-k with the final tie order, <= P*K driver
+    merge."""
+    from tiny_lingua_ray.models.train import fnv1a_64
+
+    P = 16
+    K = 20
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            ws = (t or "").split(" ")
+            c.update(zip(ws[:-1], ws[1:]))
+        w1 = [a for a, _ in c]
+        w2 = [b for _, b in c]
+        shard = np.fromiter(
+            (fnv1a_64(a + "\x1f" + b) % P for a, b in c),
+            dtype=np.int64,
+            count=len(c),
+        )
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+                "shard": pa.array(shard),
+            }
+        )
+
+    def topk_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["w1", "w2"], as_index=False)["n"].sum()
+        return g.sort_values(
+            ["n", "w1", "w2"], ascending=[False, True, True],
+            ignore_index=True,
+        ).head(K)
+
+    out = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(topk_in_shard, batch_format="pandas")
+        .to_pandas()  # <= P * K rows
+    )
+    out = out.sort_values(
+        ["n", "w1", "w2"], ascending=[False, True, True], ignore_index=True
+    )
+    return out.head(K)
+
+
+def q_event_cooccurrence(sf_dir: str):
+    """Market-basket pair counts: for every unordered pair of event
+    types, how many users triggered BOTH.  Shard = user_id % P (all of a
+    user's events in one shard -> in-shard distinct is globally
+    correct), per-shard vectorized self-merge on the distinct
+    (user, type) frame, then a tiny second-stage groupby (pair
+    cardinality is O(|event_type|^2), not data-sized)."""
+    P = 16
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array((uid % P).astype(np.int64))
+        )
+
+    empty_pairs = pa.table(
+        {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs_in_shard(df: pd.DataFrame) -> pa.Table:
+        ue = df[["user_id", "event_type"]].drop_duplicates()
+        m = ue.merge(ue, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        if len(m) == 0:
+            return empty_pairs
+        g = m.groupby(["event_type_x", "event_type_y"], as_index=False)[
+            "user_id"
+        ].size()
+        return pa.table(
+            {
+                "type_a": pa.array(g["event_type_x"], pa.string()),
+                "type_b": pa.array(g["event_type_y"], pa.string()),
+                "n_users": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def merge_pairs(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["type_a", "type_b"], as_index=False)["n_users"].sum()
+        return pa.table(
+            {
+                "type_a": pa.array(g["type_a"], pa.string()),
+                "type_b": pa.array(g["type_b"], pa.string()),
+                "n_users": pa.array(g["n_users"].to_numpy(), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pairs_in_shard, batch_format="pandas")
+        .groupby("type_a")  # O(types) groups over O(types^2 * P) rows
+        .map_groups(merge_pairs, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -1410,6 +1525,8 @@ QUERIES = {
     "event_sequences": q_event_sequences,
     "zscore_outliers": q_zscore_outliers,
     "paragraph_dedup": q_paragraph_dedup,
+    "bigram_top20": q_bigram_top20,
+    "event_cooccurrence": q_event_cooccurrence,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1856,6 +1973,22 @@ ORACLE["zscore_outliers"] = """
            ROUND((d.n_chars - s.m) / s.sd, 6) AS z
     FROM documents d JOIN s ON s.lang = d.lang
     WHERE s.sd > 0 AND ABS((d.n_chars - s.m) / s.sd) > 1.5
+"""
+ORACLE["bigram_top20"] = """
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    b AS (SELECT UNNEST(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS pr
+          FROM w)
+    SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS n
+    FROM b GROUP BY 1, 2
+    ORDER BY n DESC, w1, w2 LIMIT 20
+"""
+ORACLE["event_cooccurrence"] = """
+    WITH ue AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM ue a JOIN ue b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
 """
 ORACLE["paragraph_dedup"] = """
     WITH w AS (
