@@ -47,6 +47,9 @@ BENCH_QUERIES = (
     "pack_sequences",
     "left_join_customer_orders",
     "global_rank_docs",
+    "paragraph_dedup",
+    "event_sequences",
+    "bigram_top20",
 )
 
 

@@ -32,7 +32,8 @@ def ddb():
      "repetition_signals", "source_stats", "lang_balanced_sample",
      "pack_sequences", "decontaminate", "incremental_dedup",
      "edit_distance_pairs", "event_sequences", "zscore_outliers",
-     "paragraph_dedup", "bigram_top20", "event_cooccurrence"],
+     "paragraph_dedup", "bigram_top20", "event_cooccurrence",
+     "latest_event_per_user", "except_users", "rolling_dau_7d"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES

@@ -1499,6 +1499,227 @@ def q_event_cooccurrence(sf_dir: str):
     )
 
 
+def q_latest_event_per_user(sf_dir: str):
+    """Latest full event row per user (distributed argmax): per-BLOCK
+    partial argmax first (<= users rows leave each block), then shard =
+    user % P and one final per-shard argmax — the two-level combiner
+    that keeps the exchange at O(users x blocks), never data-sized.
+    Order: (ts, event_id) descending; event_id is unique so the winner
+    is deterministic."""
+    P = 16
+
+    def partial_argmax(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["_ts"] = df["ts"].astype("datetime64[us]").astype("int64")
+        df = df.sort_values(
+            ["user_id", "_ts", "event_id"], ascending=[True, False, False]
+        ).drop_duplicates("user_id", keep="first")
+        uid = df["user_id"].to_numpy()
+        return pa.table(
+            {
+                "shard": pa.array((uid % P).astype(np.int64)),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(
+                    df["ts"].astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "event_id": pa.array(
+                    df["event_id"].to_numpy(), pa.int64()
+                ),
+                "event_type": pa.array(df["event_type"], pa.string()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+        }
+    )
+
+    def final_argmax(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        df = df.copy()
+        df["_ts"] = df["ts"].astype("datetime64[us]").astype("int64")
+        df = df.sort_values(
+            ["user_id", "_ts", "event_id"], ascending=[True, False, False]
+        ).drop_duplicates("user_id", keep="first")
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                "ts": pa.array(
+                    df["ts"].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "event_type": pa.array(df["event_type"], pa.string()),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    return (
+        ds.map_batches(partial_argmax, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(final_argmax, batch_format="pandas")
+    )
+
+
+def q_except_users(sf_dir: str):
+    """Set EXCEPT: customers with NO tracked events (the untracked
+    cohort).  Distinct partials on BOTH sides (per-block unique ->
+    tiny), tagged union, ONE (key, side) exchange, per-shard set
+    difference — the dual of q_intersect_users."""
+    P = 16
+
+    def tag(col: str, side: int):
+        def f(b: pa.Table) -> pa.Table:
+            k = pc.unique(pc.cast(b.column(col), pa.int64()))
+            arr = k.to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "shard": pa.array((arr % P).astype(np.int64)),
+                    "k": pa.array(arr, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(arr), side, dtype=np.int8)
+                    ),
+                }
+            )
+
+        return f
+
+    empty = pa.table({"custkey": pa.array([], pa.int64())})
+
+    def diff_in_shard(df: pd.DataFrame) -> pa.Table:
+        left = df.loc[df["side"] == 0, "k"].unique()
+        right = set(df.loc[df["side"] == 1, "k"].unique())
+        keep = np.array(
+            sorted(x for x in left if x not in right), dtype=np.int64
+        )
+        if len(keep) == 0:
+            return empty
+        return pa.table({"custkey": pa.array(keep)})
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        tag("c_custkey", 0), batch_format="pyarrow"
+    )
+    ev = _read(sf_dir, "events", columns=["user_id"]).map_batches(
+        tag("user_id", 1), batch_format="pyarrow"
+    )
+    return (
+        cust.union(ev)
+        .groupby("shard")
+        .map_groups(diff_in_shard, batch_format="pandas")
+    )
+
+
+def q_rolling_dau_7d(sf_dir: str):
+    """Rolling 7-day distinct active users per day — a windowed COUNT
+    DISTINCT, which no per-day aggregate can compute.  Exact and
+    shuffle-light:
+
+      1. user-sharded distinct (user, day);
+      2. per-user coverage-interval merge (each active day covers
+         [d, d+6]; overlapping runs fuse) -> (+1 at start, -1 past end)
+         diff events — vectorized, one lexsort per shard;
+      3. diff totals per day are O(calendar days), merged on the
+         driver with one cumsum over the dense day range, then
+         restricted to days that actually occur in the data.
+
+    A user contributes exactly once to every day within 6 days after
+    any activity — the interval union makes the count DISTINCT."""
+    P = 16
+    DAY_US = 86_400_000_000
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("int64")
+        return pa.table(
+            {
+                "shard": pa.array((uid % P).astype(np.int64)),
+                "user_id": pa.array(uid, pa.int64()),
+                "day": pa.array(ts // DAY_US),
+            }
+        )
+
+    empty_diffs = pa.table(
+        {
+            "day": pa.array([], pa.int64()),
+            "delta": pa.array([], pa.int64()),
+            "present": pa.array([], pa.int8()),
+        }
+    )
+
+    def diffs_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty_diffs
+        d = df[["user_id", "day"]].drop_duplicates()
+        arr = d.sort_values(["user_id", "day"])
+        uid = arr["user_id"].to_numpy()
+        day = arr["day"].to_numpy()
+        # new coverage interval when user changes or gap > 6 days
+        new_run = np.ones(len(day), dtype=bool)
+        if len(day) > 1:
+            new_run[1:] = (uid[1:] != uid[:-1]) | (day[1:] > day[:-1] + 6)
+        starts = day[new_run]
+        # run end = last day of each run + 6
+        run_id = np.cumsum(new_run) - 1
+        last = np.zeros(run_id[-1] + 1, dtype=np.int64)
+        np.maximum.at(last, run_id, day)
+        ends = last + 7  # first day NOT covered
+        days_out = np.concatenate([starts, ends])
+        deltas = np.concatenate(
+            [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+        )
+        present_days = np.unique(day)
+        return pa.table(
+            {
+                "day": pa.array(
+                    np.concatenate([days_out, present_days])
+                ),
+                "delta": pa.array(
+                    np.concatenate(
+                        [deltas, np.zeros(len(present_days), np.int64)]
+                    )
+                ),
+                "present": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(days_out), np.int8),
+                            np.ones(len(present_days), np.int8),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(diffs_in_shard, batch_format="pandas")
+        .to_pandas()  # O(calendar days x P) rows — bounded, tiny
+    )
+    diff = parts[parts["present"] == 0].groupby("day")["delta"].sum()
+    present = np.unique(parts.loc[parts["present"] == 1, "day"].to_numpy())
+    lo, hi = int(diff.index.min()), int(diff.index.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[diff.index.to_numpy() - lo] = diff.to_numpy()
+    counts = np.cumsum(dense)
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(present * DAY_US, unit="us"),
+            "dau7": counts[present - lo],
+        }
+    )
+    return out
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -1527,6 +1748,9 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "bigram_top20": q_bigram_top20,
     "event_cooccurrence": q_event_cooccurrence,
+    "latest_event_per_user": q_latest_event_per_user,
+    "except_users": q_except_users,
+    "rolling_dau_7d": q_rolling_dau_7d,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1973,6 +2197,29 @@ ORACLE["zscore_outliers"] = """
            ROUND((d.n_chars - s.m) / s.sd, 6) AS z
     FROM documents d JOIN s ON s.lang = d.lang
     WHERE s.sd > 0 AND ABS((d.n_chars - s.m) / s.sd) > 1.5
+"""
+ORACLE["latest_event_per_user"] = """
+    SELECT user_id, ts, event_id, event_type FROM (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+"""
+ORACLE["except_users"] = """
+    SELECT DISTINCT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT DISTINCT user_id AS custkey FROM events
+"""
+ORACLE["rolling_dau_7d"] = """
+    WITH days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+    ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+    SELECT d.day, COUNT(DISTINCT u.user_id) AS dau7
+    FROM days d
+    JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
 """
 ORACLE["bigram_top20"] = """
     WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
