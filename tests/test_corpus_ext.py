@@ -33,7 +33,8 @@ def ddb():
      "pack_sequences", "decontaminate", "incremental_dedup",
      "edit_distance_pairs", "event_sequences", "zscore_outliers",
      "paragraph_dedup", "bigram_top20", "event_cooccurrence",
-     "latest_event_per_user", "except_users", "rolling_dau_7d"],
+     "latest_event_per_user", "except_users", "rolling_dau_7d",
+     "union_users", "cap_per_source", "build_vocab"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES

@@ -1720,6 +1720,221 @@ def q_rolling_dau_7d(sf_dir: str):
     return out
 
 
+def q_union_users(sf_dir: str):
+    """Set UNION (distinct): event users plus order-placing customers.
+    Completes the set family (INTERSECT / EXCEPT / UNION) on the same
+    skeleton: per-block distinct partials, one key exchange, per-shard
+    unique."""
+    P = 16
+
+    def tag(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            k = pc.unique(pc.cast(b.column(col), pa.int64()))
+            arr = k.to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "shard": pa.array((arr % P).astype(np.int64)),
+                    "k": pa.array(arr, pa.int64()),
+                }
+            )
+
+        return f
+
+    empty = pa.table({"user_id": pa.array([], pa.int64())})
+
+    def uniq_in_shard(df: pd.DataFrame) -> pa.Table:
+        u = np.unique(df["k"].to_numpy())
+        if len(u) == 0:
+            return empty
+        return pa.table({"user_id": pa.array(u.astype(np.int64))})
+
+    ev = _read(sf_dir, "events", columns=["user_id"]).map_batches(
+        tag("user_id"), batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        tag("o_custkey"), batch_format="pyarrow"
+    )
+    return (
+        ev.union(orders)
+        .groupby("shard")
+        .map_groups(uniq_in_shard, batch_format="pandas")
+    )
+
+
+def q_cap_per_source(sf_dir: str):
+    """Domain capping — keep at most N docs per source, chosen by a
+    deterministic md5 rank (engine-independent, no RNG state): the
+    standard web-pipeline guard against a single domain flooding the
+    corpus.  Shard = hash(source) % P (every doc of a source in one
+    shard), per-shard vectorized rank + cap; ONE exchange of
+    (doc_id, source, rank_hash) — 24 B/row + the source string."""
+    from tiny_lingua_ray.models.train import fnv1a_64_batch
+    from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
+
+    N, P = 10, 16
+
+    def prep(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_pylist()
+        h = fnv1a_64_batch(src)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        rk = _md5_lower64_batch([str(i) for i in ids])
+        return pa.table(
+            {
+                "shard": pa.array(
+                    (h % np.uint64(P)).astype(np.int64)
+                ),
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "source": pa.array(src, pa.string()),
+                "rk": pa.array(rk.astype(np.uint64)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+        }
+    )
+
+    def cap_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        d = df.sort_values(["source", "rk", "doc_id"])
+        pos = d.groupby("source", sort=False).cumcount()
+        d = d[pos.to_numpy() < N]
+        return pa.table(
+            {
+                "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+                "source": pa.array(d["source"], pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(cap_in_shard, batch_format="pandas")
+    )
+
+
+def q_build_vocab(sf_dir: str):
+    """Vocabulary construction: every distinct word with its corpus
+    count and a GLOBAL contiguous id ranked by (count DESC, word ASC) —
+    the tokenizer-prep primitive.  Two stages:
+
+      1. exact counts: Counter partials -> word-hash shard -> per-shard
+         sum (a word's global count lives in one shard);
+      2. global rank WITHOUT a single-node sort: bucket the count table
+         by count (equal counts share a bucket, so ties never split),
+         exact per-bucket totals -> driver exclusive offsets, local
+         (cnt DESC, word) sort + offset per bucket.  Zipf skew note: the
+         cnt=1 bucket is the largest (same documented trade as
+         q_global_rank_docs; production splits it by a secondary word
+         range)."""
+    import ray
+
+    from tiny_lingua_ray.models.train import fnv1a_64
+
+    P = 16
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update((t or "").split(" "))
+        c.pop("", None)
+        words = list(c.keys())
+        shard = np.fromiter(
+            (fnv1a_64(w) % P for w in words), dtype=np.int64,
+            count=len(words),
+        )
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+                "shard": pa.array(shard),
+            }
+        )
+
+    empty_counts = pa.table(
+        {
+            "word": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def sum_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty_counts
+        g = df.groupby("word", as_index=False)["cnt"].sum()
+        return pa.table(
+            {
+                "word": pa.array(g["word"], pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(sum_in_shard, batch_format="pandas")
+        .materialize()
+    )
+
+    # count-value splitters from a bounded strided sample of the counts
+    sample = counts.limit(4096).to_pandas()
+    qs = np.quantile(
+        sample["cnt"].to_numpy(np.float64), np.linspace(0, 1, P + 1)[1:-1]
+    )
+    splitters = np.unique(qs.astype(np.int64))
+    s_ref = ray.put(splitters)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        sp = ray.get(s_ref)
+        v = b.column("cnt").to_numpy(zero_copy_only=False)
+        bucket = len(sp) - np.searchsorted(sp, v, side="left")
+        return b.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    tagged = counts.map_batches(bucketize, batch_format="pyarrow").materialize()
+    bc = tagged.groupby("bucket").count().to_pandas().sort_values("bucket")
+    bc["offset"] = bc["count()"].cumsum() - bc["count()"]
+    off_ref = ray.put(
+        dict(zip(bc["bucket"].astype(int), bc["offset"].astype(int)))
+    )
+
+    empty_vocab = pa.table(
+        {
+            "word": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "word_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def rank_in_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty_vocab
+        offs = ray.get(off_ref)
+        base = int(offs[int(df["bucket"].iloc[0])])
+        d = df.sort_values(
+            ["cnt", "word"], ascending=[False, True], ignore_index=True
+        )
+        return pa.table(
+            {
+                "word": pa.array(d["word"], pa.string()),
+                "cnt": pa.array(d["cnt"].to_numpy(), pa.int64()),
+                "word_id": pa.array(
+                    base + 1 + np.arange(len(d), dtype=np.int64)
+                ),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(
+        rank_in_bucket, batch_format="pandas"
+    )
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -1751,6 +1966,9 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "except_users": q_except_users,
     "rolling_dau_7d": q_rolling_dau_7d,
+    "union_users": q_union_users,
+    "cap_per_source": q_cap_per_source,
+    "build_vocab": q_build_vocab,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -2197,6 +2415,30 @@ ORACLE["zscore_outliers"] = """
            ROUND((d.n_chars - s.m) / s.sd, 6) AS z
     FROM documents d JOIN s ON s.lang = d.lang
     WHERE s.sd > 0 AND ABS((d.n_chars - s.m) / s.sd) > 1.5
+"""
+ORACLE["union_users"] = """
+    SELECT DISTINCT user_id FROM events
+    UNION
+    SELECT DISTINCT o_custkey AS user_id FROM orders
+"""
+ORACLE["cap_per_source"] = """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 10
+"""
+ORACLE["build_vocab"] = """
+    WITH wc AS (
+      SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w)
+    SELECT word, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS word_id
+    FROM wc
 """
 ORACLE["latest_event_per_user"] = """
     SELECT user_id, ts, event_id, event_type FROM (
