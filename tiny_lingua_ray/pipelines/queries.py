@@ -1935,6 +1935,206 @@ def q_build_vocab(sf_dir: str):
     )
 
 
+def q_percent_rank_docs(sf_dir: str):
+    """PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars): lang-
+    sharded, one exchange, per-shard vectorized min-rank ((rank-1)/(n-1),
+    ties share the rank).  Same documented group-fits-worker assumption
+    as q_ntile_quartiles."""
+    from tiny_lingua_ray.models.train import fnv1a_64
+
+    P = 16
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_pylist()
+        shard = np.fromiter(
+            (fnv1a_64(x or "") % P for x in langs),
+            dtype=np.int64,
+            count=len(langs),
+        )
+        return b.append_column("shard", pa.array(shard))
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+            "pr": pa.array([], pa.float64()),
+        }
+    )
+
+    def rank_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        g = df.groupby("lang", sort=False)["n_chars"]
+        r = g.rank(method="min").to_numpy(np.float64)
+        n = g.transform("size").to_numpy(np.float64)
+        pr = np.where(n > 1, (r - 1.0) / (n - 1.0), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "lang": pa.array(df["lang"], pa.string()),
+                "n_chars": pa.array(df["n_chars"].to_numpy(), pa.int64()),
+                "pr": pa.array(np.round(pr, 6)),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank_in_shard, batch_format="pandas")
+    )
+
+
+def q_cube_event_stats(sf_dir: str):
+    """GROUP BY CUBE(event_type, day-of-week) in ONE pass: each batch
+    emits partials for all FOUR grouping sets ('ALL' / -1 sentinels),
+    then one small groupby over <= 4x|groups| rows per block — the
+    rollup pattern (q_rollup_pricing) extended to the full cube."""
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pandas(),
+                "dow": (
+                    (
+                        batch.column("ts")
+                        .cast(pa.timestamp("us"))
+                        .to_numpy(zero_copy_only=False)
+                        .astype("int64")
+                        // DAY_US
+                        + 4  # 1970-01-01 was a Thursday; Sunday == 0
+                    )
+                    % 7
+                ).astype(np.int64),
+                "value": batch.column("value")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            }
+        )
+        g = df.groupby(["event_type", "dow"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        gt = g.groupby("event_type", as_index=False)[["n", "sum_value"]].sum()
+        gt["dow"] = np.int64(-1)
+        gd = g.groupby("dow", as_index=False)[["n", "sum_value"]].sum()
+        gd["event_type"] = "ALL"
+        g0 = pd.DataFrame(
+            {
+                "event_type": ["ALL"],
+                "dow": [np.int64(-1)],
+                "n": [g["n"].sum()],
+                "sum_value": [g["sum_value"].sum()],
+            }
+        )
+        cols = ["event_type", "dow", "n", "sum_value"]
+        out = pd.concat(
+            [g[cols], gt[cols], gd[cols], g0[cols]], ignore_index=True
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "dow": pa.array(out["dow"].to_numpy(np.int64)),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+                "sum_value": pa.array(out["sum_value"].to_numpy(np.float64)),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "dow"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    return out[["event_type", "dow", "n", "sum_value"]]
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts: users grouped by FIRST active week;
+    for each (cohort, weeks-since) cell, how many distinct users were
+    active.  User-sharded (first-week and week set both live in one
+    shard), per-shard vectorized distinct + emit, then a tiny
+    (cohort, k) count merge — cells are O(weeks²), never data-sized."""
+    P = 16
+    WEEK_US = 7 * 86_400_000_000
+    DAY_US = 86_400_000_000
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            b.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("int64")
+        )
+        day = ts // DAY_US
+        monday = day - (day + 3) % 7  # 1970-01-01 Thu; Monday-start weeks
+        return pa.table(
+            {
+                "shard": pa.array((uid % P).astype(np.int64)),
+                "user_id": pa.array(uid, pa.int64()),
+                "wk": pa.array(monday * DAY_US),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "cohort_us": pa.array([], pa.int64()),
+            "k": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+
+    def cells_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        uw = df[["user_id", "wk"]].drop_duplicates()
+        first = uw.groupby("user_id")["wk"].transform("min")
+        k = (uw["wk"].to_numpy() - first.to_numpy()) // WEEK_US
+        g = (
+            pd.DataFrame({"cohort_us": first.to_numpy(), "k": k})
+            .groupby(["cohort_us", "k"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "cohort_us": pa.array(g["cohort_us"].to_numpy(), pa.int64()),
+                "k": pa.array(g["k"].to_numpy(), pa.int64()),
+                "n_users": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def merge_cells(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["cohort_us", "k"], as_index=False)["n_users"].sum()
+        return pa.table(
+            {
+                "cohort": pa.array(
+                    g["cohort_us"].to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "k": pa.array(g["k"].to_numpy(), pa.int64()),
+                "n_users": pa.array(g["n_users"].to_numpy(), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(cells_in_shard, batch_format="pandas")
+        .groupby("cohort_us")  # O(weeks) groups over O(weeks² x P) rows
+        .map_groups(merge_cells, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -1969,6 +2169,9 @@ QUERIES = {
     "union_users": q_union_users,
     "cap_per_source": q_cap_per_source,
     "build_vocab": q_build_vocab,
+    "percent_rank_docs": q_percent_rank_docs,
+    "cube_event_stats": q_cube_event_stats,
+    "retention_cohorts": q_retention_cohorts,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -2415,6 +2618,31 @@ ORACLE["zscore_outliers"] = """
            ROUND((d.n_chars - s.m) / s.sd, 6) AS z
     FROM documents d JOIN s ON s.lang = d.lang
     WHERE s.sd > 0 AND ABS((d.n_chars - s.m) / s.sd) > 1.5
+"""
+ORACLE["percent_rank_docs"] = """
+    SELECT doc_id, lang, n_chars,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY lang ORDER BY n_chars), 6) AS pr
+    FROM documents
+"""
+ORACLE["cube_event_stats"] = """
+    WITH e AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow, value
+      FROM events)
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(dow, -1) AS dow,
+           COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+    FROM e GROUP BY CUBE(event_type, dow)
+"""
+ORACLE["retention_cohorts"] = """
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    fw AS (SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY user_id)
+    SELECT f.cohort,
+           CAST(datediff('week', f.cohort, u.wk) AS BIGINT) AS k,
+           COUNT(*) AS n_users
+    FROM uw u JOIN fw f ON f.user_id = u.user_id
+    GROUP BY 1, 2
 """
 ORACLE["union_users"] = """
     SELECT DISTINCT user_id FROM events
