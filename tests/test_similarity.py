@@ -105,3 +105,59 @@ def test_knn_pq_recall_and_exact_cosines(ray_session):
 
     again = knn_pq(read(), query_ids=qids, k=5)
     assert approx.equals(again)
+
+
+def test_semantic_dedup_prune_rule_and_determinism(ray_session):
+    """Every dropped vector must have a strictly-earlier same-cluster
+    neighbor with cosine >= tau; every kept vector must have none —
+    verified by a full driver recompute over the returned cluster
+    assignment.  Result is rerun-identical."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.similarity import _normalize, semantic_dedup
+
+    TAU = 0.95
+
+    base = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    # plant near-identical twins (tiny deterministic perturbation) —
+    # the corpus itself has no cosine >= 0.95 pairs
+    rng = np.random.RandomState(3)
+    twins = base.head(20).copy()
+    twins["vec_id"] = twins["vec_id"].to_numpy() + 100_000
+    twins["embedding"] = [
+        (np.asarray(v) + rng.normal(0, 1e-3, len(v))).tolist()
+        for v in twins["embedding"]
+    ]
+    emb = pd.concat([base, twins], ignore_index=True)
+
+    def read():
+        return rd.from_pandas(emb)
+
+    out = semantic_dedup(read(), n_clusters=8, tau=TAU).to_pandas()
+    assert len(out) == len(emb)
+    dropped_ids = set(out.loc[~out["kept"], "vec_id"])
+    assert set(twins["vec_id"]) <= dropped_ids  # every twin pruned
+
+    vecs = {
+        int(i): v
+        for i, v in zip(
+            emb["vec_id"], _normalize(np.asarray(emb["embedding"].tolist()))
+        )
+    }
+    for _, grp in out.groupby("cluster"):
+        g = grp.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        V = np.stack([vecs[int(i)] for i in ids])
+        S = V @ V.T
+        for r in range(len(ids)):
+            has_earlier_dup = bool(r > 0 and S[r, :r].max() >= TAU)
+            assert has_earlier_dup == (not bool(g["kept"].iloc[r])), ids[r]
+
+    again = semantic_dedup(read(), n_clusters=8, tau=TAU).to_pandas()
+    key = ["vec_id"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )

@@ -2135,6 +2135,21 @@ def q_retention_cohorts(sf_dir: str):
     )
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup over the embeddings table: k-means
+    clusters (bounded-sample fit, broadcast centroids), then a
+    deterministic keep-first-by-id cosine prune inside each cluster
+    (tau=0.45 — in-distribution for the synthetic corpus, whose max
+    off-diagonal cosine is ~0.51; real deployments run 0.9+).
+    Rows-only by design (k-means is not SQL-expressible); the prune
+    rule is property-tested against a driver recompute with planted
+    twins."""
+    from tiny_lingua_ray.stages.similarity import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, n_clusters=8, tau=0.45)
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -2172,6 +2187,7 @@ QUERIES = {
     "percent_rank_docs": q_percent_rank_docs,
     "cube_event_stats": q_cube_event_stats,
     "retention_cohorts": q_retention_cohorts,
+    "semantic_dedup": q_semantic_dedup,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,

@@ -656,3 +656,103 @@ def kmeans_assign(ds, n_clusters: int = 8, sample_size: int = 4096,
         },
         batch_format="pyarrow",
     )
+
+
+def semantic_dedup(ds, n_clusters: int = 8, tau: float = 0.95,
+                   sample_size: int = 4096, id_column: str = "vec_id",
+                   vec_column: str = "embedding",
+                   max_cluster: int = 200_000):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): spherical k-means clusters the embedding corpus
+    (bounded-sample fit, broadcast centroids, zero-shuffle assign);
+    within each cluster a document is DROPPED iff an earlier id has
+    cosine >= tau — the same deterministic keep-first-by-id rule the
+    MinHash/exact dedup family uses, so results are order-free and
+    rerun-stable.
+
+    Scale shape: ONE cluster-key exchange; the in-cluster prune is a
+    blocked V @ V.T (row blocks of 1024 against the cluster matrix, so
+    memory is O(block x |cluster|), never |cluster|^2 at once).
+    Clusters larger than ``max_cluster`` are pruned only against their
+    first ``max_cluster`` members (logged, never silent) — production
+    raises n_clusters so clusters stay bounded.
+
+    Returns (id, cluster, kept) for every input row.
+    """
+    import logging
+
+    sample = ds.limit(sample_size).to_pandas()
+    C = _spherical_kmeans(
+        np.asarray(sample[vec_column].tolist(), dtype=np.float64),
+        n_clusters,
+    )
+    try:
+        import ray
+
+        cref = ray.put(C) if ray.is_initialized() else None
+    except ImportError:
+        cref = None
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray
+
+        cc = ray.get(cref) if cref is not None else C
+        V = _normalize(_as_matrix(batch.column(vec_column)))
+        cluster = np.argmax(V @ cc.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(cluster),
+                id_column: batch.column(id_column),
+                vec_column: batch.column(vec_column),
+            }
+        )
+
+    empty = pa.table(
+        {
+            id_column: pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "kept": pa.array([], pa.bool_()),
+        }
+    )
+
+    def prune(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        d = df.sort_values(id_column, ignore_index=True)
+        ids = d[id_column].to_numpy()
+        V = _normalize(
+            np.asarray(d[vec_column].tolist(), dtype=np.float64)
+        )
+        n = len(ids)
+        cap = min(n, max_cluster)
+        if n > max_cluster:
+            logging.getLogger(__name__).warning(
+                "semantic_dedup: cluster of %d exceeds max_cluster=%d; "
+                "pruning only against the first %d members",
+                n, max_cluster, cap,
+            )
+        dropped = np.zeros(n, dtype=bool)
+        B = 1024
+        ref = V[:cap]
+        for s in range(1, n, B):
+            e = min(s + B, n)
+            S = V[s:e] @ ref[: min(e, cap)].T  # rows s..e vs earlier ids
+            # only strictly-earlier ids count: mask columns j >= row id
+            lim = np.minimum(np.arange(s, e), cap)[:, None]
+            S[np.arange(S.shape[1])[None, :] >= lim] = -1.0
+            dropped[s:e] = S.max(axis=1) >= tau
+        return pa.table(
+            {
+                id_column: pa.array(ids.astype(np.int64)),
+                "cluster": pa.array(
+                    np.full(n, int(d["cluster"].iloc[0]), np.int64)
+                ),
+                "kept": pa.array(~dropped),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+    )
