@@ -2150,6 +2150,35 @@ def q_semantic_dedup(sf_dir: str):
     return semantic_dedup(ds, n_clusters=8, tau=0.45)
 
 
+def q_quality_classifier(sf_dir: str):
+    """Distributed logistic-regression quality classifier: features are
+    the Gopher/C4 quality metrics, the target is a deterministic
+    length rule (n_chars > 300), training is full-batch GD where each
+    iteration ships ONE broadcast weight vector out and O(blocks x D)
+    gradient-partial floats back — corpus-size-independent network
+    cost per step (stages/classifier.py).  Rows-only by design
+    (iterative optimization is not SQL-expressible); gradient parity,
+    convergence, and determinism are unit-tested."""
+    from tiny_lingua_ray.stages.classifier import (
+        QUALITY_FEATURES,
+        logreg_score,
+        logreg_train,
+        quality_features_batch,
+    )
+
+    feats = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(quality_features_batch, batch_format="pyarrow")
+        .materialize()  # re-scanned once per GD iteration
+    )
+    w, _hist = logreg_train(
+        feats, QUALITY_FEATURES, label_col="label", n_iter=30, lr=1.0
+    )
+    return logreg_score(
+        feats, w, QUALITY_FEATURES, id_column="doc_id", label_col="label"
+    )
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -2188,6 +2217,7 @@ QUERIES = {
     "cube_event_stats": q_cube_event_stats,
     "retention_cohorts": q_retention_cohorts,
     "semantic_dedup": q_semantic_dedup,
+    "quality_classifier": q_quality_classifier,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
