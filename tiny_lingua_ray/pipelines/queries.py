@@ -1289,10 +1289,11 @@ def q_zscore_outliers(sf_dir: str):
     )
 
 
-def q_paragraph_dedup(sf_dir: str):
+def _paragraph_dedup_ds(ds, carry_source: bool = False):
     """CCNet-style paragraph-level exact dedup with in-order document
-    reassembly.  The corpus has no newline structure, so a "paragraph"
-    is a fixed 20-word chunk (documented, matched by the oracle).
+    reassembly (shared by q_paragraph_dedup and q_pretraining_prep).
+    The corpus has no newline structure, so a "paragraph" is a fixed
+    20-word chunk (documented, matched by the oracle).
 
     Three stages, two exchanges:
       1. stateless chunker: (doc_id, pno, para), shard1 = hash(para) % P
@@ -1302,6 +1303,8 @@ def q_paragraph_dedup(sf_dir: str):
          (doc_id, pno) key is the group min;
       3. reassembly: shard2 = doc_id % P, per-doc pno-ordered join.
     Docs whose every paragraph was a duplicate drop out (match oracle).
+    ``carry_source`` threads the per-doc source string through all
+    three stages so composites can partition downstream without a join.
     """
     from tiny_lingua_ray.models.train import fnv1a_64_batch
 
@@ -1310,32 +1313,37 @@ def q_paragraph_dedup(sf_dir: str):
     def chunk(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_pylist()
         texts = b.column("text").to_pylist()
-        did, pno, para = [], [], []
-        for i, t in zip(ids, texts):
+        srcs = b.column("source").to_pylist() if carry_source else None
+        did, pno, para, src = [], [], [], []
+        for r, (i, t) in enumerate(zip(ids, texts)):
             ws = (t or "").split(" ")
             for j in range(0, len(ws), W):
                 did.append(i)
                 pno.append(j // W)
                 para.append(" ".join(ws[j : j + W]))
+                if srcs is not None:
+                    src.append(srcs[r])
         h = fnv1a_64_batch(para)
-        return pa.table(
-            {
-                "shard": pa.array(
-                    (h % np.uint64(P)).astype(np.int64)
-                ),
-                "doc_id": pa.array(did, pa.int64()),
-                "pno": pa.array(pno, pa.int64()),
-                "para": pa.array(para, pa.string()),
-            }
-        )
-
-    empty_kept = pa.table(
-        {
-            "shard2": pa.array([], pa.int64()),
-            "doc_id": pa.array([], pa.int64()),
-            "pno": pa.array([], pa.int64()),
-            "para": pa.array([], pa.string()),
+        cols = {
+            "shard": pa.array((h % np.uint64(P)).astype(np.int64)),
+            "doc_id": pa.array(did, pa.int64()),
+            "pno": pa.array(pno, pa.int64()),
+            "para": pa.array(para, pa.string()),
         }
+        if carry_source:
+            cols["source"] = pa.array(src, pa.string())
+        return pa.table(cols)
+
+    kept_cols = {
+        "shard2": pa.int64(),
+        "doc_id": pa.int64(),
+        "pno": pa.int64(),
+        "para": pa.string(),
+    }
+    if carry_source:
+        kept_cols["source"] = pa.string()
+    empty_kept = pa.table(
+        {k: pa.array([], t) for k, t in kept_cols.items()}
     )
 
     def keep_first(df: pd.DataFrame) -> pa.Table:
@@ -1346,20 +1354,23 @@ def q_paragraph_dedup(sf_dir: str):
             df["para"].to_numpy(), sort=False
         ).transform("min")
         m = packed == first.to_numpy()
-        return pa.table(
-            {
-                "shard2": pa.array(df["doc_id"].to_numpy()[m] % P),
-                "doc_id": pa.array(df["doc_id"].to_numpy()[m]),
-                "pno": pa.array(df["pno"].to_numpy()[m]),
-                "para": pa.array(df["para"].to_numpy()[m], pa.string()),
-            }
-        )
-
-    empty_docs = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "text": pa.array([], pa.string()),
+        cols = {
+            "shard2": pa.array(df["doc_id"].to_numpy()[m] % P),
+            "doc_id": pa.array(df["doc_id"].to_numpy()[m]),
+            "pno": pa.array(df["pno"].to_numpy()[m]),
+            "para": pa.array(df["para"].to_numpy()[m], pa.string()),
         }
+        if carry_source:
+            cols["source"] = pa.array(
+                df["source"].to_numpy()[m], pa.string()
+            )
+        return pa.table(cols)
+
+    doc_cols = {"doc_id": pa.int64(), "text": pa.string()}
+    if carry_source:
+        doc_cols["source"] = pa.string()
+    empty_docs = pa.table(
+        {k: pa.array([], t) for k, t in doc_cols.items()}
     )
 
     def reassemble(df: pd.DataFrame) -> pa.Table:
@@ -1367,20 +1378,30 @@ def q_paragraph_dedup(sf_dir: str):
             return empty_docs
         d = df.sort_values(["doc_id", "pno"])
         g = d.groupby("doc_id", sort=False)["para"].agg(" ".join)
-        return pa.table(
-            {
-                "doc_id": pa.array(g.index.to_numpy(), pa.int64()),
-                "text": pa.array(g.to_numpy(), pa.string()),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(g.index.to_numpy(), pa.int64()),
+            "text": pa.array(g.to_numpy(), pa.string()),
+        }
+        if carry_source:
+            cols["source"] = pa.array(
+                d.groupby("doc_id", sort=False)["source"].first(),
+                pa.string(),
+            )
+        return pa.table(cols)
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return (
         ds.map_batches(chunk, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(keep_first, batch_format="pandas")
         .groupby("shard2")
         .map_groups(reassemble, batch_format="pandas")
+    )
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """See _paragraph_dedup_ds."""
+    return _paragraph_dedup_ds(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
     )
 
 
@@ -2179,6 +2200,138 @@ def q_quality_classifier(sf_dir: str):
     )
 
 
+def q_conversion_funnel(sf_dir: str):
+    """Signup -> purchase-within-7-days conversion funnel: user-sharded
+    (each user's whole event history in one shard), per-shard vectorized
+    first-signup + window probe, single-row (n_signup, n_converted,
+    conv_rate) result from O(P) partials."""
+    P = 16
+    WINDOW_US = 7 * 86_400_000_000
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            b.column("event_type"),
+            value_set=pa.array(["signup", "purchase"]),
+        )
+        b = b.filter(keep)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array((uid % P).astype(np.int64)),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(
+                    b.column("ts")
+                    .cast(pa.timestamp("us"))
+                    .to_numpy(zero_copy_only=False)
+                    .astype("int64")
+                ),
+                "is_signup": pa.array(
+                    pc.equal(b.column("event_type"), "signup").to_numpy(
+                        zero_copy_only=False
+                    )
+                ),
+            }
+        )
+
+    def funnel_in_shard(df: pd.DataFrame) -> pa.Table:
+        s = df[df["is_signup"]]
+        if len(s) == 0:
+            return pa.table(
+                {"n_signup": pa.array([0]), "n_converted": pa.array([0])}
+            )
+        t0 = s.groupby("user_id")["ts"].min()
+        p = df[~df["is_signup"]].merge(
+            t0.rename("t0"), left_on="user_id", right_index=True
+        )
+        conv = p[(p["ts"] > p["t0"]) & (p["ts"] <= p["t0"] + WINDOW_US)][
+            "user_id"
+        ].nunique()
+        return pa.table(
+            {
+                "n_signup": pa.array([len(t0)]),
+                "n_converted": pa.array([int(conv)]),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(funnel_in_shard, batch_format="pandas")
+        .to_pandas()  # O(P) rows
+    )
+    n_s = int(parts["n_signup"].sum())
+    n_c = int(parts["n_converted"].sum())
+    return pd.DataFrame(
+        {
+            "n_signup": [n_s],
+            "n_converted": [n_c],
+            "conv_rate": [round(n_c / n_s, 6) if n_s else 0.0],
+        }
+    )
+
+
+def q_pretraining_prep(sf_dir: str):
+    """End-to-end pretraining-corpus prep composite, fully SQL-oracled:
+    paragraph-level dedup with in-order reassembly (source carried
+    through the chunk stages — no join back), then deterministic
+    domain capping (md5 rank, <= 10 docs per source) on the SURVIVING
+    docs.  Text is read once and never re-joined; both stages keep
+    their standalone partitioning (para-hash then source-hash)."""
+    from tiny_lingua_ray.models.train import fnv1a_64_batch
+    from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
+
+    N, P = 10, 16
+
+    deduped = _paragraph_dedup_ds(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "source"]),
+        carry_source=True,
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_pylist()
+        h = fnv1a_64_batch(src)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        rk = _md5_lower64_batch([str(i) for i in ids])
+        return pa.table(
+            {
+                "shard": pa.array((h % np.uint64(P)).astype(np.int64)),
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "source": pa.array(src, pa.string()),
+                "text": b.column("text"),
+                "rk": pa.array(rk.astype(np.uint64)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+
+    def cap_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        d = df.sort_values(["source", "rk", "doc_id"])
+        pos = d.groupby("source", sort=False).cumcount()
+        d = d[pos.to_numpy() < N]
+        return pa.table(
+            {
+                "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+                "source": pa.array(d["source"], pa.string()),
+                "text": pa.array(d["text"], pa.string()),
+            }
+        )
+
+    return (
+        deduped.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(cap_in_shard, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -2218,6 +2371,8 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "semantic_dedup": q_semantic_dedup,
     "quality_classifier": q_quality_classifier,
+    "conversion_funnel": q_conversion_funnel,
+    "pretraining_prep": q_pretraining_prep,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -2664,6 +2819,50 @@ ORACLE["zscore_outliers"] = """
            ROUND((d.n_chars - s.m) / s.sd, 6) AS z
     FROM documents d JOIN s ON s.lang = d.lang
     WHERE s.sd > 0 AND ABS((d.n_chars - s.m) / s.sd) > 1.5
+"""
+ORACLE["conversion_funnel"] = """
+    WITH a AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+      SELECT DISTINCT a.user_id FROM a
+      JOIN events e ON e.user_id = a.user_id
+        AND e.event_type = 'purchase'
+        AND e.ts > a.t0 AND e.ts <= a.t0 + INTERVAL 7 DAY)
+    SELECT (SELECT COUNT(*) FROM a) AS n_signup,
+           (SELECT COUNT(*) FROM conv) AS n_converted,
+           ROUND((SELECT COUNT(*) FROM conv) * 1.0
+                 / (SELECT COUNT(*) FROM a), 6) AS conv_rate
+"""
+ORACLE["pretraining_prep"] = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    paras AS (
+      SELECT doc_id, i AS pno,
+             array_to_string(ws[(i*20+1):((i+1)*20)], ' ') AS para
+      FROM w, LATERAL (
+        SELECT UNNEST(generate_series(
+          0, CAST(CEIL(len(ws) / 20.0) AS INT) - 1)) AS i) t),
+    firsts AS (
+      SELECT para, MIN(doc_id * 100000 + pno) AS fk
+      FROM paras GROUP BY para),
+    dedup AS (
+      SELECT p.doc_id, string_agg(p.para, ' ' ORDER BY p.pno) AS text
+      FROM paras p
+      JOIN firsts f
+        ON f.para = p.para AND p.doc_id * 100000 + p.pno = f.fk
+      GROUP BY p.doc_id),
+    dd AS (
+      SELECT d.doc_id, s.source, d.text
+      FROM dedup d JOIN documents s ON s.doc_id = d.doc_id),
+    capped AS (
+      SELECT doc_id, source, text,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rn
+      FROM dd)
+    SELECT doc_id, source, text FROM capped WHERE rn <= 10
 """
 ORACLE["percent_rank_docs"] = """
     SELECT doc_id, lang, n_chars,
