@@ -119,3 +119,36 @@ def test_lang_word_top5_oracle(ray_session):
     df["cnt"] = df["cnt"].astype("int64")
     exp["cnt"] = exp["cnt"].astype("int64")
     pd.testing.assert_frame_equal(df[["lang", "word", "cnt"]], exp[["lang", "word", "cnt"]])
+
+
+def test_queries_survive_empty_input(ray_session, tmp_path):
+    """Schema-identical but EMPTY tables: a representative set of
+    shuffle-heavy queries must return zero rows without crashing —
+    the typed-empty-frame guard that keeps sparse partitions from
+    poisoning schema unification at scale."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    for t in ("documents", "events", "orders", "customer", "lineitem",
+              "part", "embeddings", "region", "nation", "supplier"):
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 0), str(d / f"{t}.parquet"))
+
+    from tiny_lingua_ray.pipelines.queries import QUERIES
+
+    KEYS = (
+        "exact_dedup", "minhash_dedup", "simhash_pairs", "word_freq_top20",
+        "paragraph_dedup", "event_sequences", "zscore_outliers",
+        "latest_event_per_user", "except_users", "union_users",
+        "cap_per_source", "event_cooccurrence", "user_sessions",
+        "pretraining_prep", "edit_distance_pairs", "bigram_top20",
+    )
+    import pandas as pd
+
+    for k in KEYS:
+        r = QUERIES[k](str(d))
+        n = len(r) if isinstance(r, pd.DataFrame) else r.count()
+        assert n == 0, (k, n)

@@ -374,6 +374,9 @@ def q_word_freq_top20(sf_dir: str):
         )
 
     def topk_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # typed empty (empty-input / sparse shard)
+            return pd.DataFrame({"word": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype="int64")})
         g = df.groupby("word", as_index=False)["cnt"].sum()
         return g.sort_values(
             ["cnt", "word"], ascending=[False, True], ignore_index=True
@@ -386,6 +389,9 @@ def q_word_freq_top20(sf_dir: str):
         .map_groups(topk_in_shard, batch_format="pandas")
         .to_pandas()  # <= P * K rows
     )
+    if len(out) == 0:
+        return pd.DataFrame({"word": pd.Series([], dtype=str),
+                             "cnt": pd.Series([], dtype="int64")})
     out = out.sort_values(["cnt", "word"], ascending=[False, True], ignore_index=True)
     return out.head(K)
 
@@ -1248,17 +1254,20 @@ def q_zscore_outliers(sf_dir: str):
         .map_batches(stats_partial, batch_format="pyarrow")
         .to_pandas()  # O(languages x blocks) rows — bounded, tiny
     )
-    tot = parts.groupby("lang", as_index=False).agg(
-        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")
-    )
-    mean = tot["s"] / tot["n"]
-    var = tot["ss"] / tot["n"] - mean * mean
-    sd = np.sqrt(np.maximum(var.to_numpy(), 0.0))
-    stats = {
-        lang: (m, d)
-        for lang, m, d in zip(tot["lang"], mean.to_numpy(), sd)
-        if d > 0.0
-    }
+    if len(parts) == 0:  # empty input: no stats, filter drops all
+        stats = {}
+    else:
+        tot = parts.groupby("lang", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")
+        )
+        mean = tot["s"] / tot["n"]
+        var = tot["ss"] / tot["n"] - mean * mean
+        sd = np.sqrt(np.maximum(var.to_numpy(), 0.0))
+        stats = {
+            lang: (m, d)
+            for lang, m, d in zip(tot["lang"], mean.to_numpy(), sd)
+            if d > 0.0
+        }
     stats_ref = ray.put(stats)
 
     def flag(b: pa.Table, *, stats_ref) -> pa.Table:
@@ -1441,6 +1450,10 @@ def q_bigram_top20(sf_dir: str):
         )
 
     def topk_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # typed empty
+            return pd.DataFrame({"w1": pd.Series([], dtype=str),
+                                 "w2": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype="int64")})
         g = df.groupby(["w1", "w2"], as_index=False)["n"].sum()
         return g.sort_values(
             ["n", "w1", "w2"], ascending=[False, True, True],
@@ -1454,6 +1467,10 @@ def q_bigram_top20(sf_dir: str):
         .map_groups(topk_in_shard, batch_format="pandas")
         .to_pandas()  # <= P * K rows
     )
+    if len(out) == 0:
+        return pd.DataFrame({"w1": pd.Series([], dtype=str),
+                             "w2": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype="int64")})
     out = out.sort_values(
         ["n", "w1", "w2"], ascending=[False, True, True], ignore_index=True
     )
