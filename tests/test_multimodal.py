@@ -129,3 +129,30 @@ def test_video_real_codec_guard():
 
     with _pytest.raises(NotImplementedError):
         decode_video(b"\x00\x00\x01\xbamp4-ish garbage")
+
+
+def test_audio_near_dup_finds_perturbed_twins(ray_session):
+    """Every amplitude-scaled + noised audio twin must pair with its
+    original at Hamming<=3 via the energy-delta fingerprint, and no
+    cross pairs appear between unrelated clips."""
+    from tiny_lingua_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["audio_near_dup"]("/root/testdata/sf0.001").to_pandas()
+    twin = out[(out["id_b"] - out["id_a"]) == 10_000]
+    assert len(twin) == 32  # one per synthetic audio clip
+    others = out[(out["id_b"] - out["id_a"]) != 10_000]
+    assert len(others) == 0, others.head()
+
+
+def test_afp64_invariances():
+    """afp64 is amplitude-invariant and separates unrelated signals."""
+    import numpy as np
+
+    from tiny_lingua_ray.stages.multimodal import afp64
+
+    rng = np.random.RandomState(5)
+    a = rng.normal(0, 1, 8000)
+    assert afp64(a) == afp64(a * 7.5)
+    b = rng.normal(0, 1, 8000)
+    ham = bin(afp64(a) ^ afp64(b)).count("1")
+    assert ham > 10, ham

@@ -2349,6 +2349,130 @@ def q_pretraining_prep(sf_dir: str):
     )
 
 
+def q_audio_near_dup(sf_dir: str):
+    """Perceptual AUDIO dedup: 64-bit energy-delta fingerprint
+    (stages/multimodal.afp64, Haitsma-Kalker style) -> Hamming<=3 pairs
+    via the same pigeonhole-banding core as text SimHash and image
+    dHash.  Synthetic media -> rows-only; the banding core is
+    SQL-oracle-verified through simhash_pairs.  Twins are seeded as
+    amplitude-scaled + lightly-noised copies (NOT byte copies), so the
+    pairing exercises the fingerprint's perceptual invariance."""
+    import ray.data as rd
+
+    from tiny_lingua_ray.sources.media import make_media_table
+    from tiny_lingua_ray.stages.dedup import hamming_near_dup_pairs
+    from tiny_lingua_ray.stages.multimodal import (
+        AudioFeatures,
+        decode_audio,
+        encode_raw_audio,
+    )
+
+    t = make_media_table(64)
+    t = t.filter(pc.equal(t.column("kind"), "audio"))
+    ids = t.column("media_id").to_pylist()
+    payloads = t.column("payload").to_pylist()
+    rng = np.random.RandomState(11)
+    twin_ids, twin_payloads = [], []
+    for i, p in zip(ids, payloads):
+        samples, rate = decode_audio(p)
+        perturbed = (
+            samples.astype(np.float64) * 0.8
+            + rng.normal(0, 1e-4 * max(1.0, np.abs(samples).max()),
+                         len(samples))
+        )
+        twin_ids.append(i + 10_000)
+        twin_payloads.append(
+            encode_raw_audio(perturbed.astype(samples.dtype), rate)
+        )
+    twins = pa.table(
+        {
+            "media_id": pa.array(twin_ids, t.schema.field("media_id").type),
+            "kind": pa.array(["audio"] * len(twin_ids), pa.string()),
+            "payload": pa.array(twin_payloads, pa.binary()),
+        }
+    )
+    t = pa.concat_tables(
+        [t.select(["media_id", "kind", "payload"]), twins]
+    )
+    sigs = (
+        rd.from_arrow(t)
+        .map_batches(
+            AudioFeatures,
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=2,
+            num_cpus=1,
+        )
+        .select_columns(["media_id", "afp"])
+    )
+    return hamming_near_dup_pairs(
+        sigs, max_hamming=3, id_column="media_id", hash_column="afp"
+    )
+
+
+def q_winsorize_chars(sf_dir: str):
+    """Per-language winsorization (clip n_chars to [p05, p95]) — the
+    outlier-taming preprocessing step: (lang, value)-count partials ->
+    tiny histogram groupby -> per-lang CDF inversion (quantile_disc:
+    sorted[ceil(q*n)-1], matching q_group_percentiles) -> broadcast the
+    O(langs) clip bounds -> shuffle-free clip scan.  The corpus crosses
+    NO exchange; only the histogram does."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"lang": b.column("lang"), "n_chars": b.column("n_chars")}
+        ).to_pandas()
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "n_chars": pa.array(g["n_chars"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    hist = (
+        _read(sf_dir, "documents", columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["lang", "n_chars"])
+    )
+    bounds = {}
+    for lang, g in hist.groupby("lang"):
+        vals = g["n_chars"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        pick = lambda q: int(vals[np.searchsorted(cum, int(np.ceil(q * n)))])
+        bounds[lang] = (pick(0.05), pick(0.95))
+    b_ref = ray.put(bounds)
+
+    def clip(b: pa.Table, *, b_ref) -> pa.Table:
+        bd = ray.get(b_ref) if hasattr(b_ref, "hex") else b_ref
+        lang = pd.Series(b.column("lang").to_pandas())
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lo = lang.map({k: v[0] for k, v in bd.items()}).to_numpy(np.int64)
+        hi = lang.map({k: v[1] for k, v in bd.items()}).to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "n_chars": pa.array(x),
+                "clipped": pa.array(np.clip(x, lo, hi)),
+            }
+        )
+
+    return _read(
+        sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(clip, fn_kwargs={"b_ref": b_ref}, batch_format="pyarrow")
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -2390,6 +2514,8 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "conversion_funnel": q_conversion_funnel,
     "pretraining_prep": q_pretraining_prep,
+    "audio_near_dup": q_audio_near_dup,
+    "winsorize_chars": q_winsorize_chars,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -2836,6 +2962,15 @@ ORACLE["zscore_outliers"] = """
            ROUND((d.n_chars - s.m) / s.sd, 6) AS z
     FROM documents d JOIN s ON s.lang = d.lang
     WHERE s.sd > 0 AND ABS((d.n_chars - s.m) / s.sd) > 1.5
+"""
+ORACLE["winsorize_chars"] = """
+    WITH s AS (
+      SELECT lang, quantile_disc(n_chars, 0.05) AS lo,
+             quantile_disc(n_chars, 0.95) AS hi
+      FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars,
+           LEAST(GREATEST(d.n_chars, s.lo), s.hi) AS clipped
+    FROM documents d JOIN s ON s.lang = d.lang
 """
 ORACLE["conversion_funnel"] = """
     WITH a AS (

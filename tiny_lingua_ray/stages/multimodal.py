@@ -133,10 +133,24 @@ class ImageFeatures:
         )
 
 
+def afp64(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: sign of energy DELTA across 65 equal
+    segments (Shazam-lite / Haitsma–Kalker style sub-fingerprint) —
+    invariant to amplitude scaling, near-invariant to small noise, so
+    perceptual near-dups land at small Hamming distance."""
+    if len(samples) < 65:
+        return 0
+    segs = np.array_split(samples.astype(np.float64), 65)
+    e = np.array([float((s * s).mean()) for s in segs])
+    bits = (e[1:] > e[:-1]).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
 class AudioFeatures:
     """Actor-pool stage: decode -> frame-sample -> features.
 
-    Appends: duration_sec, rms, n_frames (frame sampling at ``frame_sec``).
+    Appends: duration_sec, rms, n_frames (frame sampling at
+    ``frame_sec``), afp (64-bit energy-delta fingerprint).
     """
 
     def __init__(self, payload_column: str = "payload", frame_sec: float = 0.5):
@@ -149,17 +163,20 @@ class AudioFeatures:
         dur = np.zeros(R)
         rms = np.zeros(R)
         n_frames = np.zeros(R, np.int32)
+        fps = np.zeros(R, np.uint64)
         for i, p in enumerate(payloads):
             samples, rate = decode_audio(p)
             dur[i] = len(samples) / rate if rate else 0.0
             rms[i] = float(np.sqrt((samples.astype(np.float64) ** 2).mean())) if len(samples) else 0.0
             frame = max(1, int(rate * self.frame_sec))
             n_frames[i] = (len(samples) + frame - 1) // frame
+            fps[i] = np.uint64(afp64(samples))
         return (
             batch.drop_columns([self.payload_column])
             .append_column("duration_sec", pa.array(np.round(dur, 4)))
             .append_column("rms", pa.array(np.round(rms, 6)))
             .append_column("n_frames", pa.array(n_frames))
+            .append_column("afp", pa.array(fps))
         )
 
 
