@@ -36,7 +36,8 @@ def ddb():
      "latest_event_per_user", "except_users", "rolling_dau_7d",
      "union_users", "cap_per_source", "build_vocab",
      "percent_rank_docs", "cube_event_stats", "retention_cohorts",
-     "conversion_funnel", "pretraining_prep", "winsorize_chars"],
+     "conversion_funnel", "pretraining_prep", "winsorize_chars",
+     "mode_event_type", "above_avg_events"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES

@@ -2473,6 +2473,123 @@ def q_winsorize_chars(sf_dir: str):
     ).map_batches(clip, fn_kwargs={"b_ref": b_ref}, batch_format="pyarrow")
 
 
+def q_mode_event_type(sf_dir: str):
+    """MODE per group (each user's most frequent event type, ties ->
+    lexicographically first): per-BLOCK (user, type) count partials,
+    one user-shard exchange of the partials (never the events), per-
+    shard merge + vectorized argmax."""
+    P = 16
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+            }
+        ).to_pandas()
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        uid = g["user_id"].to_numpy()
+        return pa.table(
+            {
+                "shard": pa.array((uid % P).astype(np.int64)),
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "cnt": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "mode_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def mode_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        g = df.groupby(["user_id", "event_type"], as_index=False)[
+            "cnt"
+        ].sum()
+        g = g.sort_values(
+            ["user_id", "cnt", "event_type"],
+            ascending=[True, False, True],
+        ).drop_duplicates("user_id", keep="first")
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "mode_type": pa.array(g["event_type"], pa.string()),
+                "n": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(mode_in_shard, batch_format="pandas")
+    )
+
+
+def q_above_avg_events(sf_dir: str):
+    """Correlated-subquery pattern: events whose value exceeds their
+    OWN user's mean — user-sharded so the group mean and the filter run
+    in the SAME pass (one exchange, no broadcast of a data-sized mean
+    table, no second scan)."""
+    P = 16
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array((uid % P).astype(np.int64)),
+                "event_id": b.column("event_id"),
+                "user_id": pa.array(uid, pa.int64()),
+                "value": b.column("value"),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64()),
+            "user_mean": pa.array([], pa.float64()),
+        }
+    )
+
+    def filter_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        m = df.groupby("user_id")["value"].transform("mean").to_numpy()
+        v = df["value"].to_numpy(np.float64)
+        keep = v > m
+        # DuckDB ROUND is half-AWAY-from-zero; np.round is half-even —
+        # means like 44.7590625 land on the boundary, so match DuckDB
+        mk = m[keep]
+        m6 = np.sign(mk) * np.floor(np.abs(mk) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    df["event_id"].to_numpy()[keep], pa.int64()
+                ),
+                "user_id": pa.array(
+                    df["user_id"].to_numpy()[keep], pa.int64()
+                ),
+                "value": pa.array(np.round(v[keep], 6)),
+                "user_mean": pa.array(m6),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(filter_in_shard, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -2516,6 +2633,8 @@ QUERIES = {
     "pretraining_prep": q_pretraining_prep,
     "audio_near_dup": q_audio_near_dup,
     "winsorize_chars": q_winsorize_chars,
+    "mode_event_type": q_mode_event_type,
+    "above_avg_events": q_above_avg_events,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -2962,6 +3081,23 @@ ORACLE["zscore_outliers"] = """
            ROUND((d.n_chars - s.m) / s.sd, 6) AS z
     FROM documents d JOIN s ON s.lang = d.lang
     WHERE s.sd > 0 AND ABS((d.n_chars - s.m) / s.sd) > 1.5
+"""
+ORACLE["mode_event_type"] = """
+    SELECT user_id, event_type AS mode_type, cnt AS n FROM (
+      SELECT user_id, event_type, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type) t
+    WHERE rn = 1
+"""
+ORACLE["above_avg_events"] = """
+    SELECT event_id, user_id, ROUND(value, 6) AS value,
+           ROUND(user_mean, 6) AS user_mean
+    FROM (
+      SELECT event_id, user_id, value,
+             AVG(value) OVER (PARTITION BY user_id) AS user_mean
+      FROM events) t
+    WHERE value > user_mean
 """
 ORACLE["winsorize_chars"] = """
     WITH s AS (
