@@ -219,8 +219,147 @@ def run_scaling() -> dict:
     }
 
 
+def _dedup_corpus(rows: int) -> str:
+    """Deterministic large corpus for the shuffle-scaling run: random
+    60-word docs over a 1000-token vocab (near-zero cross-doc
+    similarity, so pair output stays bounded and the measurement times
+    the SHUFFLE, not pair materialization), with near-dup twins planted
+    for 2% of docs (3 words swapped -> Jaccard ~0.9, so the LSH bands
+    genuinely fire).  Built once, cached in /tmp."""
+    path = f"/tmp/tlr_dedup_corpus_{rows}.parquet"
+    if os.path.exists(path):
+        return path
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(42)
+    # random LETTER strings: a structured surface form (tok0042) shares
+    # char-5-gram prefixes across the whole vocab and made every doc
+    # pair a candidate (measured); diverse spellings keep cross-doc
+    # Jaccard near zero
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab = np.array(
+        [
+            "".join(letters[rng.randint(0, 26, size=rng.randint(5, 9))])
+            for _ in range(1000)
+        ]
+    )
+    n_base = rows - rows // 50
+    W = 60
+    words = vocab[rng.randint(0, len(vocab), size=(n_base, W))]
+    texts = [" ".join(r) for r in words]
+    # plant twins: the first rows-n_base base docs get a copy with 3
+    # words replaced (exactly rows total; arange(0,n_base,50) yielded
+    # fewer sources than requested)
+    twin_src = np.arange(rows - n_base)
+    for s in twin_src:
+        ws = words[s].copy()
+        ws[rng.randint(0, W, size=3)] = vocab[rng.randint(0, len(vocab), 3)]
+        texts.append(" ".join(ws))
+    ids = np.arange(len(texts), dtype=np.int64)
+    tmp = path + ".tmp"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids),
+                  "text": pa.array(texts, pa.string())}),
+        tmp,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+def run_dedup_once(rows: int) -> dict:
+    """Time ONE minhash-LSH candidate pass (the all-to-all shuffle
+    pipeline) at NUM_CPUS over the cached corpus; prints one JSON line."""
+    import ray
+
+    path = _dedup_corpus(rows)
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.dedup import minhash_lsh_candidates
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(path, override_num_blocks=max(64, NUM_CPUS * 4))
+    n_pairs = _consume(minhash_lsh_candidates(ds, scheme="fnv"))
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        "metric": "minhash_dedup_sec",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "rows": rows,
+        "pairs": n_pairs,
+        "docs_per_sec": round(rows / dt, 1),
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling_dedup() -> dict:
+    """The --scaling evidence for the SHUFFLE-heavy path: same
+    minhash-LSH job at 8 and 32 CPUs in fresh processes, >=3 paired
+    replicates, median efficiency (flagship --scaling covers the
+    map-heavy path)."""
+    import statistics
+
+    rows = int(os.environ.get("GRAFT_DEDUP_SCALING_ROWS", "100000"))
+    _dedup_corpus(rows)  # build once outside the timed legs
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            RAY_GRAFT_DEDUP_ROWS=str(rows),
+        )
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True,
+            text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(32)  # warm page cache, untimed
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    runs8, runs32, effs = [], [], []
+    for _ in range(reps):
+        r8 = run(8)
+        r32 = run(32)
+        runs8.append(r8)
+        runs32.append(r32)
+        effs.append(round((r8["value"] / r32["value"]) / (32 / 8), 3))
+    best8 = min(runs8, key=lambda d: d["value"])
+    best32 = min(runs32, key=lambda d: d["value"])
+    return {
+        "metric": "minhash_scaling_efficiency",
+        "value": round(statistics.median(effs), 3),
+        "unit": "ratio",
+        "samples": effs,
+        "sec_8": [d["value"] for d in runs8],
+        "sec_32": [d["value"] for d in runs32],
+        "docs_per_sec_8": best8["docs_per_sec"],
+        "docs_per_sec_32": best32["docs_per_sec"],
+        "best_pair_efficiency": round(
+            (best8["value"] / best32["value"]) / (32 / 8), 3
+        ),
+        "rows": rows,
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if os.environ.get("RAY_GRAFT_DEDUP_ROWS"):
+        print(json.dumps(run_dedup_once(
+            int(os.environ["RAY_GRAFT_DEDUP_ROWS"]))))
+    elif "--scaling-dedup" in sys.argv:
+        print(json.dumps(run_scaling_dedup()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

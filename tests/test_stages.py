@@ -292,3 +292,27 @@ def test_attach_pair_texts_delivers_both_sides(ray_session):
                                    "text number 5"]
     assert list(got["text_b"]) == ["text number 7", "text number 19",
                                    "text number 6"]
+
+
+def test_attach_pair_texts_duplicate_pairs_deliver_once(ray_session):
+    """A duplicated (id_a, id_b) row in the pairs input must deliver a
+    single joined row, not crash column alignment."""
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.dedup import attach_pair_texts
+
+    docs = rd.from_items(
+        [{"doc_id": i, "text": f"text number {i}"} for i in range(6)]
+    )
+    pairs = rd.from_items(
+        [{"id_a": 1, "id_b": 4}, {"id_a": 1, "id_b": 4},
+         {"id_a": 2, "id_b": 5}]
+    )
+    got = (
+        attach_pair_texts(docs, pairs, num_shards=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(got["id_a"]) == [1, 2]
+    assert list(got["text_b"]) == ["text number 4", "text number 5"]

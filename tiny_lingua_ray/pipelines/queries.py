@@ -1743,6 +1743,11 @@ def q_rolling_dau_7d(sf_dir: str):
         .map_groups(diffs_in_shard, batch_format="pandas")
         .to_pandas()  # O(calendar days x P) rows — bounded, tiny
     )
+    if len(parts) == 0:  # empty input: typed empty result
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype="datetime64[us]"),
+             "dau7": pd.Series([], dtype="int64")}
+        )
     diff = parts[parts["present"] == 0].groupby("day")["delta"].sum()
     present = np.unique(parts.loc[parts["present"] == 1, "day"].to_numpy())
     lo, hi = int(diff.index.min()), int(diff.index.max())
@@ -1923,6 +1928,12 @@ def q_build_vocab(sf_dir: str):
 
     # count-value splitters from a bounded strided sample of the counts
     sample = counts.limit(4096).to_pandas()
+    if len(sample) == 0:  # empty input: typed empty result
+        return pd.DataFrame(
+            {"word": pd.Series([], dtype=str),
+             "cnt": pd.Series([], dtype="int64"),
+             "word_id": pd.Series([], dtype="int64")}
+        )
     qs = np.quantile(
         sample["cnt"].to_numpy(np.float64), np.linspace(0, 1, P + 1)[1:-1]
     )
@@ -2003,7 +2014,10 @@ def q_percent_rank_docs(sf_dir: str):
     def rank_in_shard(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
             return empty
-        g = df.groupby("lang", sort=False)["n_chars"]
+        # dropna=False: NULL lang is its own partition, matching the
+        # oracle's PARTITION BY lang (NULL-group parity convention,
+        # see relational_ext.py)
+        g = df.groupby("lang", sort=False, dropna=False)["n_chars"]
         r = g.rank(method="min").to_numpy(np.float64)
         n = g.transform("size").to_numpy(np.float64)
         pr = np.where(n > 1, (r - 1.0) / (n - 1.0), 0.0)
@@ -2091,6 +2105,13 @@ def q_cube_event_stats(sf_dir: str):
         )
         .to_pandas()
     )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "dow": pd.Series([], dtype="int64"),
+             "n": pd.Series([], dtype="int64"),
+             "sum_value": pd.Series([], dtype="float64")}
+        )
     out["sum_value"] = out["sum_value"].round(6)
     return out[["event_type", "dow", "n", "sum_value"]]
 
@@ -2277,8 +2298,11 @@ def q_conversion_funnel(sf_dir: str):
         .map_groups(funnel_in_shard, batch_format="pandas")
         .to_pandas()  # O(P) rows
     )
-    n_s = int(parts["n_signup"].sum())
-    n_c = int(parts["n_converted"].sum())
+    if len(parts) == 0:
+        n_s = n_c = 0
+    else:
+        n_s = int(parts["n_signup"].sum())
+        n_c = int(parts["n_converted"].sum())
     return pd.DataFrame(
         {
             "n_signup": [n_s],
@@ -2440,8 +2464,10 @@ def q_winsorize_chars(sf_dir: str):
         .groupby(["lang", "n_chars"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
-        .sort_values(["lang", "n_chars"])
     )
+    if len(hist) == 0:  # empty input: column-less frame from Ray
+        hist = pd.DataFrame({"lang": [], "n_chars": [], "cnt": []})
+    hist = hist.sort_values(["lang", "n_chars"])
     bounds = {}
     for lang, g in hist.groupby("lang"):
         vals = g["n_chars"].to_numpy()
@@ -2457,14 +2483,20 @@ def q_winsorize_chars(sf_dir: str):
         x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
-        lo = lang.map({k: v[0] for k, v in bd.items()}).to_numpy(np.int64)
-        hi = lang.map({k: v[1] for k, v in bd.items()}).to_numpy(np.int64)
+        lo = lang.map({k: v[0] for k, v in bd.items()}).to_numpy(np.float64)
+        hi = lang.map({k: v[1] for k, v in bd.items()}).to_numpy(np.float64)
+        # rows whose lang has no bounds (NULL lang / unseen) drop, the
+        # same rows the oracle's inner JOIN on lang drops
+        keep = ~np.isnan(lo)
+        m = pa.array(keep)
         return pa.table(
             {
-                "doc_id": b.column("doc_id"),
-                "lang": b.column("lang"),
-                "n_chars": pa.array(x),
-                "clipped": pa.array(np.clip(x, lo, hi)),
+                "doc_id": b.column("doc_id").filter(m),
+                "lang": b.column("lang").filter(m),
+                "n_chars": pa.array(x[keep]),
+                "clipped": pa.array(
+                    np.clip(x[keep], lo[keep], hi[keep]).astype(np.int64)
+                ),
             }
         )
 

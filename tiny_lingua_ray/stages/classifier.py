@@ -79,6 +79,8 @@ def logreg_train(features, feature_cols, label_col="label",
             },
             batch_format="pyarrow",
         ).to_pandas()  # O(blocks) rows of D+2 floats
+        if len(parts) == 0:  # empty features: nothing to fit
+            break
         n = parts["n"].sum()
         g = parts[[f"g{j}" for j in range(D)]].sum().to_numpy() / n
         g[1:] += l2 * w[1:]

@@ -737,8 +737,13 @@ def attach_pair_texts(docs, pairs, num_shards: int = 16,
     )
 
     def pivot(df: pd.DataFrame) -> pa.Table:
+        # a duplicated (id_a, id_b) in the pairs input delivers once
+        # (duplicate pair_key index entries would fan .loc out and
+        # break column alignment)
         sa = df[df["ab"] == 0].set_index("pair_key")["txt"]
+        sa = sa[~sa.index.duplicated()]
         sb = df[df["ab"] == 1].set_index("pair_key")["txt"]
+        sb = sb[~sb.index.duplicated()]
         pk = sa.index.intersection(sb.index).to_numpy()
         if len(pk) == 0:
             return empty_pairs

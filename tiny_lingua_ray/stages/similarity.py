@@ -682,6 +682,18 @@ def semantic_dedup(ds, n_clusters: int = 8, tau: float = 0.95,
     import logging
 
     sample = ds.limit(sample_size).to_pandas()
+    if len(sample) == 0:  # empty input: typed empty result
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "kept": pa.array([], pa.bool_()),
+                }
+            )
+        )
     C = _spherical_kmeans(
         np.asarray(sample[vec_column].tolist(), dtype=np.float64),
         n_clusters,
