@@ -50,6 +50,8 @@ BENCH_QUERIES = (
     "paragraph_dedup",
     "event_sequences",
     "bigram_top20",
+    "pretraining_prep",
+    "winsorize_chars",
 )
 
 

@@ -2622,6 +2622,87 @@ def q_above_avg_events(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event streams (the LEAD
+    window function): user-sharded lexsort, vectorized shift within
+    user, per-shard (from, to) count partials, tiny O(types²) merge —
+    the behavioral-sequence-mining primitive."""
+    P = 16
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array((uid % P).astype(np.int64)),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(
+                    b.column("ts")
+                    .cast(pa.timestamp("us"))
+                    .to_numpy(zero_copy_only=False)
+                    .astype("int64")
+                ),
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "from_type": pa.array([], pa.string()),
+            "to_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def transitions_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        order = np.lexsort(
+            (df["event_id"].to_numpy(), df["ts"].to_numpy(),
+             df["user_id"].to_numpy())
+        )
+        uid = df["user_id"].to_numpy()[order]
+        et = df["event_type"].to_numpy()[order]
+        same = uid[1:] == uid[:-1]
+        g = (
+            pd.DataFrame(
+                {"from_type": et[:-1][same], "to_type": et[1:][same]}
+            )
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size()
+        )
+        if len(g) == 0:
+            return empty
+        return pa.table(
+            {
+                "from_type": pa.array(g["from_type"], pa.string()),
+                "to_type": pa.array(g["to_type"], pa.string()),
+                "n": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+        return pa.table(
+            {
+                "from_type": pa.array(g["from_type"], pa.string()),
+                "to_type": pa.array(g["to_type"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(transitions_in_shard, batch_format="pandas")
+        .groupby("from_type")  # O(types) groups over O(types² x P) rows
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -2667,6 +2748,7 @@ QUERIES = {
     "winsorize_chars": q_winsorize_chars,
     "mode_event_type": q_mode_event_type,
     "above_avg_events": q_above_avg_events,
+    "event_transitions": q_event_transitions,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3113,6 +3195,16 @@ ORACLE["zscore_outliers"] = """
            ROUND((d.n_chars - s.m) / s.sd, 6) AS z
     FROM documents d JOIN s ON s.lang = d.lang
     WHERE s.sd > 0 AND ABS((d.n_chars - s.m) / s.sd) > 1.5
+"""
+ORACLE["event_transitions"] = """
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
 """
 ORACLE["mode_event_type"] = """
     SELECT user_id, event_type AS mode_type, cnt AS n FROM (
