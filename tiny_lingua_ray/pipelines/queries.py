@@ -2703,6 +2703,48 @@ def q_event_transitions(sf_dir: str):
     )
 
 
+def q_tokenize_docs(sf_dir: str):
+    """Tokenize the corpus with the build_vocab id table: the vocab
+    (word -> global frequency-ranked id) is collected ONCE — it is
+    O(vocab), not corpus-sized; at web scale ship it via ray.put /
+    node-local mmap exactly like the language models — and every doc
+    maps to its id sequence in a streaming, shuffle-free scan.
+    Output is the '-'-joined id string + token count (a string column
+    hash-compares robustly; the list<int64> variant is one
+    array_to_string away)."""
+    import ray
+
+    vocab_df = q_build_vocab(sf_dir)
+    if not isinstance(vocab_df, pd.DataFrame):
+        vocab_df = vocab_df.to_pandas()
+    vocab = dict(
+        zip(vocab_df["word"], vocab_df["word_id"].astype(np.int64))
+    )
+    v_ref = ray.put(vocab)
+
+    def tok(b: pa.Table, *, v_ref) -> pa.Table:
+        v = ray.get(v_ref) if hasattr(v_ref, "hex") else v_ref
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_ids, out_seq, out_n = [], [], []
+        for i, t in zip(ids, texts):
+            toks = [v[w] for w in (t or "").split(" ") if w in v]
+            out_ids.append(i)
+            out_seq.append("-".join(map(str, toks)))
+            out_n.append(len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "token_ids": pa.array(out_seq, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        tok, fn_kwargs={"v_ref": v_ref}, batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -2749,6 +2791,7 @@ QUERIES = {
     "mode_event_type": q_mode_event_type,
     "above_avg_events": q_above_avg_events,
     "event_transitions": q_event_transitions,
+    "tokenize_docs": q_tokenize_docs,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3195,6 +3238,26 @@ ORACLE["zscore_outliers"] = """
            ROUND((d.n_chars - s.m) / s.sd, 6) AS z
     FROM documents d JOIN s ON s.lang = d.lang
     WHERE s.sd > 0 AND ABS((d.n_chars - s.m) / s.sd) > 1.5
+"""
+ORACLE["tokenize_docs"] = """
+    WITH wc AS (
+      SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    v AS (SELECT word,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS word_id
+          FROM wc),
+    w AS (
+      SELECT d.doc_id, t.i AS pos, string_split(d.text, ' ')[t.i] AS word
+      FROM documents d, LATERAL (
+        SELECT UNNEST(generate_series(
+          1, len(string_split(d.text, ' ')))) AS i) t)
+    SELECT w.doc_id,
+           array_to_string(list(v.word_id ORDER BY w.pos), '-')
+             AS token_ids,
+           COUNT(*) AS n_tokens
+    FROM w JOIN v ON v.word = w.word
+    GROUP BY w.doc_id
 """
 ORACLE["event_transitions"] = """
     WITH o AS (
