@@ -1,0 +1,75 @@
+"""Hypothesis property tests for the pure (no-Ray) kernels.
+
+These complement the fixed-seed fuzz tests with shrinking
+counterexamples and unicode/edge inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FF), max_size=40
+)
+
+
+def _ref_levenshtein(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_TEXT, _TEXT, st.integers(min_value=0, max_value=15))
+def test_levenshtein_capped_property(a, b, cap):
+    from tiny_lingua_ray.stages.dedup import levenshtein_capped
+
+    assert levenshtein_capped(a, b, cap) == min(_ref_levenshtein(a, b),
+                                                cap + 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(
+    min_codepoint=0x20, max_codepoint=0x24F), max_size=24), max_size=32))
+def test_fnv_batch_matches_scalar(strs):
+    from tiny_lingua_ray.models.train import fnv1a_64, fnv1a_64_batch
+
+    batch = fnv1a_64_batch(strs)
+    assert len(batch) == len(strs)
+    for s, h in zip(strs, batch):
+        assert int(h) == fnv1a_64(s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1e3, max_value=1e3,
+                       allow_nan=False), min_size=65, max_size=400),
+    st.floats(min_value=0.05, max_value=50.0, allow_nan=False),
+)
+def test_afp64_amplitude_invariant(samples, scale):
+    """Fingerprint bits depend only on RELATIVE segment energies —
+    positive scaling never changes them."""
+    from tiny_lingua_ray.stages.multimodal import afp64
+
+    x = np.asarray(samples, dtype=np.float64)
+    assert afp64(x) == afp64(x * scale)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 32) - 1),
+                min_size=2, max_size=2, unique=True))
+def test_pair_key_pack_roundtrip(ids):
+    """(a << 32) | b packing (dedup pair keys) is loss-free for any
+    32-bit id pair with a < b."""
+    a, b = sorted(ids)
+    pk = (np.uint64(a) << np.uint64(32)) | np.uint64(b)
+    assert int(pk >> np.uint64(32)) == a
+    assert int(pk & np.uint64(0xFFFFFFFF)) == b

@@ -3171,11 +3171,21 @@ def _minhash_oracle() -> str:
           SELECT doc_id, CAST(i // 4 AS INT) AS band,
                  list(mv ORDER BY i) AS sig
           FROM sigs GROUP BY doc_id, CAST(i // 4 AS INT)),
+        kept AS (
+          -- replay the engine's MAX_BUCKET=64 hot-bucket skew cap:
+          -- within each (band, signature) bucket only the 64 smallest
+          -- doc_ids pair (deterministic first-by-id, dedup.py
+          -- _pairs_in_partition); binds at sf0.1+, no-op below
+          SELECT doc_id, band, sig,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY band, sig ORDER BY doc_id) AS rn
+          FROM bands),
         pairs AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a
-          JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                      AND a.doc_id < b.doc_id)
+          FROM kept a
+          JOIN kept b ON a.band = b.band AND a.sig = b.sig
+                      AND a.doc_id < b.doc_id
+          WHERE a.rn <= 64 AND b.rn <= 64)
         SELECT id_a, id_b, COUNT(*) AS n_bands FROM pairs GROUP BY 1, 2
     """
 
