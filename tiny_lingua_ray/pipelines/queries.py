@@ -2745,6 +2745,56 @@ def q_tokenize_docs(sf_dir: str):
     )
 
 
+def q_generic_right_join(sf_dir: str):
+    """RIGHT OUTER join through the GENERIC hash_join operator
+    (stages/join.py) with broadcast disabled — exercises the tagged-
+    union shuffle plan end to end: every customer row survives, orders
+    columns null (int -> float64, the documented dtype policy) where a
+    customer never ordered."""
+    from tiny_lingua_ray.stages.join import hash_join
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: b.rename_columns(["custkey", "c_acctbal"]),
+        batch_format="pyarrow",
+    )
+    out = hash_join(
+        orders, cust, on="custkey", how="right",
+        broadcast_threshold=0, num_shards=16,
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": b.column("custkey"),
+                "o_orderkey": b.column("o_orderkey").cast(pa.float64()),
+                "o_totalprice": pa.array(
+                    np.round(
+                        b.column("o_totalprice")
+                        .cast(pa.float64())
+                        .to_numpy(zero_copy_only=False),
+                        6,
+                    )
+                ),
+                "c_acctbal": pa.array(
+                    np.round(
+                        b.column("c_acctbal")
+                        .cast(pa.float64())
+                        .to_numpy(zero_copy_only=False),
+                        6,
+                    )
+                ),
+            }
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -2792,6 +2842,7 @@ QUERIES = {
     "above_avg_events": q_above_avg_events,
     "event_transitions": q_event_transitions,
     "tokenize_docs": q_tokenize_docs,
+    "generic_right_join": q_generic_right_join,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3248,6 +3299,13 @@ ORACLE["zscore_outliers"] = """
            ROUND((d.n_chars - s.m) / s.sd, 6) AS z
     FROM documents d JOIN s ON s.lang = d.lang
     WHERE s.sd > 0 AND ABS((d.n_chars - s.m) / s.sd) > 1.5
+"""
+ORACLE["generic_right_join"] = """
+    SELECT c.c_custkey AS custkey,
+           CAST(o.o_orderkey AS DOUBLE) AS o_orderkey,
+           ROUND(o.o_totalprice, 6) AS o_totalprice,
+           ROUND(c.c_acctbal, 6) AS c_acctbal
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
 """
 ORACLE["tokenize_docs"] = """
     WITH wc AS (

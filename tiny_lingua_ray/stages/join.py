@@ -1,0 +1,234 @@
+"""Generic distributed hash join over Ray Datasets.
+
+``hash_join(left, right, on, how)`` is the reusable engine operator the
+query layer's ad-hoc joins (relational_ext) specialize; it picks the
+physical plan by measured size:
+
+* **broadcast** — if the right side is small (``size_bytes()`` under
+  ``broadcast_threshold``), collect it once, ``ray.put`` it, and join
+  map-side in every left block: zero shuffles, the plan for
+  dimension-table joins at any corpus scale.
+* **shuffle cogroup** — otherwise the tagged-union idiom used across
+  this repo (relational_ext.py): both sides padded to ONE unified
+  arrow schema (typed nulls, so no cross-block schema drift), keyed by
+  ``hash(on) % P``, ONE exchange, per-shard pandas-C merge.  Skewed
+  keys concentrate in a shard — pair with
+  stages/partitioning.salted_map_groups when a key holds a data-sized
+  share.
+
+Join types: inner, left, right, full, semi, anti (semi/anti return
+left columns only, SQL semantics).  Right-side columns that collide
+with left names get the ``r_`` prefix.  Output dtypes are
+deterministic regardless of the physical plan or per-shard match
+pattern: integer value columns on a side that ``how`` makes nullable
+come back float64 (the pandas NaN convention); everything else keeps
+its type.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_DEFAULT_BROADCAST = 64 * 1024 * 1024  # 64 MiB
+
+
+def _key_shard(vals: np.ndarray, P: int) -> np.ndarray:
+    if np.issubdtype(vals.dtype, np.integer):
+        return (vals.astype(np.int64) % P).astype(np.int64)
+    from tiny_lingua_ray.models.train import fnv1a_64_batch
+
+    return (
+        fnv1a_64_batch([str(v) for v in vals]) % np.uint64(P)
+    ).astype(np.int64)
+
+
+def _out_dtypes(lschema: pa.Schema, rschema: pa.Schema, on: str,
+                how: str, rre: dict) -> dict:
+    """Deterministic output pandas dtypes (see module docstring)."""
+    tgt = {}
+
+    def base(t: pa.DataType):
+        if pa.types.is_integer(t):
+            return "int64"
+        if pa.types.is_floating(t):
+            return "float64"
+        if pa.types.is_boolean(t):
+            return "bool"
+        return None  # leave as-is (strings, timestamps, lists)
+
+    def resolve(b: str, nullable: bool):
+        if not nullable:
+            return b
+        if b == "int64":
+            return "float64"
+        if b == "bool":
+            return None  # NaN-able bools stay object
+        return b
+
+    l_nullable = how in ("right", "full")
+    r_nullable = how in ("left", "full")
+    for f in lschema:
+        b = base(f.type)
+        if b is None:
+            continue
+        t = resolve(b, l_nullable and f.name != on)
+        if t is not None:
+            tgt[f.name] = t
+    if how not in ("semi", "anti"):
+        for f in rschema:
+            if f.name == on:
+                continue
+            b = base(f.type)
+            if b is None:
+                continue
+            t = resolve(b, r_nullable)
+            if t is not None:
+                tgt[rre.get(f.name, f.name)] = t
+    return tgt
+
+
+def _apply_dtypes(df: pd.DataFrame, tgt: dict) -> pd.DataFrame:
+    for c, t in tgt.items():
+        if c in df.columns and str(df[c].dtype) != t:
+            df[c] = df[c].astype(t)
+    return df
+
+
+def _merged_frame(ldf: pd.DataFrame, rdf: pd.DataFrame, on: str,
+                  how: str, rre: dict) -> pd.DataFrame:
+    if how in ("semi", "anti"):
+        keys = set(rdf[on].tolist())
+        mask = ldf[on].isin(keys)
+        return (ldf[mask] if how == "semi" else ldf[~mask]).copy()
+    rdf = rdf.rename(columns=rre)
+    return ldf.merge(rdf, on=on, how="outer" if how == "full" else how)
+
+
+def hash_join(left, right, on: str, how: str = "inner",
+              broadcast_threshold: int = _DEFAULT_BROADCAST,
+              num_shards: int = 32):
+    """Join two Ray Datasets on one key column.  Returns a Dataset."""
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
+        raise ValueError(f"unsupported join type: {how}")
+    import ray
+
+    def _to_pa(t):
+        if isinstance(t, pa.DataType):
+            return t
+        if t is object or t is str:  # pandas-block string columns
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    ls, rs = left.schema(), right.schema()
+    lschema = pa.schema(
+        [(n, _to_pa(t)) for n, t in zip(ls.names, ls.types)]
+    )
+    rschema = pa.schema(
+        [(n, _to_pa(t)) for n, t in zip(rs.names, rs.types)]
+    )
+    lcols = [f.name for f in lschema]
+    rre = {
+        f.name: f"r_{f.name}"
+        for f in rschema
+        if f.name != on and f.name in lcols
+    }
+    tgt = _out_dtypes(lschema, rschema, on, how, rre)
+
+    try:
+        rsize = right.size_bytes()
+    except Exception:
+        rsize = None
+    can_broadcast = (
+        rsize is not None
+        and rsize <= broadcast_threshold
+        and how in ("inner", "left", "semi", "anti")
+    )
+
+    if can_broadcast:
+        rdf = right.to_pandas()  # bounded by broadcast_threshold
+        r_ref = ray.put(rdf)
+
+        def bjoin(batch: pa.Table, *, r_ref) -> pa.Table:
+            r = ray.get(r_ref) if hasattr(r_ref, "hex") else r_ref
+            out = _merged_frame(batch.to_pandas(), r, on, how, rre)
+            out = _apply_dtypes(out, tgt)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return left.map_batches(
+            bjoin, fn_kwargs={"r_ref": r_ref}, batch_format="pyarrow"
+        )
+
+    # ---- shuffle cogroup ----
+    P = num_shards
+    rcols_out = [rre.get(f.name, f.name) for f in rschema]
+    # ONE unified arrow schema: both sides pad the other's columns with
+    # typed nulls, so union blocks never disagree on a field's type
+    unified = pa.schema(
+        [(f.name, f.type) for f in lschema]
+        + [
+            (rre.get(f.name, f.name), f.type)
+            for f in rschema
+            if rre.get(f.name, f.name) not in lcols
+        ]
+        + [("__side", pa.int8()), ("__shard", pa.int64())]
+    )
+
+    def tag(side: int, rename: dict):
+        def f(batch: pa.Table) -> pa.Table:
+            if rename:
+                batch = batch.rename_columns(
+                    [rename.get(c, c) for c in batch.column_names]
+                )
+            n = batch.num_rows
+            key = batch.column(on).to_numpy(zero_copy_only=False)
+            cols = []
+            for fld in unified:
+                if fld.name == "__side":
+                    cols.append(pa.array(np.full(n, side, np.int8)))
+                elif fld.name == "__shard":
+                    cols.append(pa.array(_key_shard(key, P)))
+                elif fld.name in batch.column_names:
+                    cols.append(batch.column(fld.name).cast(fld.type))
+                else:
+                    cols.append(pa.nulls(n, fld.type))
+            return pa.table(dict(zip([f2.name for f2 in unified], cols)))
+
+        return f
+
+    empty = pa.Table.from_pandas(
+        _apply_dtypes(
+            pd.DataFrame(
+                {
+                    c: pd.Series([], dtype=object)
+                    for c in (
+                        lcols
+                        if how in ("semi", "anti")
+                        else lcols
+                        + [c for c in rcols_out if c not in lcols]
+                    )
+                }
+            ),
+            tgt,
+        ),
+        preserve_index=False,
+    )
+
+    def merge_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        ldf = df.loc[df["__side"] == 0, lcols]
+        rdf = df.loc[df["__side"] == 1, rcols_out].rename(
+            columns={v: k for k, v in rre.items()}
+        )
+        out = _merged_frame(ldf, rdf, on, how, rre)
+        out = _apply_dtypes(out, tgt)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tagged = left.map_batches(
+        tag(0, {}), batch_format="pyarrow"
+    ).union(right.map_batches(tag(1, rre), batch_format="pyarrow"))
+    return tagged.groupby("__shard").map_groups(
+        merge_shard, batch_format="pandas"
+    )
