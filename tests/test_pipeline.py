@@ -251,3 +251,30 @@ def test_knn_ivf_scale_path(ray_session):
         map(tuple, bf[["query_id", "neighbor_id"]].values)
     )
     assert len(hits) / len(bf) >= 0.6
+
+
+def test_cli_query_subcommand(tmp_path):
+    """`cli query` runs a registered pipeline end to end in its own
+    process (owns its Ray session) and writes parquet."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    r = subprocess.run(
+        [sys.executable, "-m", "tiny_lingua_ray.cli", "query", "--list"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    names = r.stdout.split()
+    assert "exact_dedup" in names and "minhash_dedup" in names
+
+    out = str(tmp_path / "q_out")
+    r = subprocess.run(
+        [sys.executable, "-m", "tiny_lingua_ray.cli", "query",
+         "--name", "doc_stats", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", out, "--num-cpus", "4"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    assert "doc_stats" in r.stdout
+    got = pq.read_table(out)
+    assert got.num_rows == 5  # one row per language

@@ -102,6 +102,46 @@ def cmd_gen_corpus(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered operator pipeline over an sf-format table dir
+    and write / print its result — every queries() entry is a runnable
+    product surface, not just a test hook."""
+    from tiny_lingua_ray.pipelines.queries import QUERIES
+
+    if args.list:
+        for k in sorted(QUERIES):
+            print(k)
+        return 0
+    if args.name not in QUERIES:
+        print(f"unknown query: {args.name!r} (use --list)", flush=True)
+        return 2
+    ray = _ray_init(args.num_cpus)
+    res = QUERIES[args.name](args.sf_dir)
+    import pandas as pd
+
+    if args.out:
+        if isinstance(res, pd.DataFrame):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.Table.from_pandas(res, preserve_index=False), args.out
+            )
+            n = len(res)
+        else:
+            # Dataset: streaming write, one file per block (resumable
+            # layout is the flagship sink's job; this is the ad-hoc path)
+            res.write_parquet(args.out)
+            n = res.count()
+        print(f"{args.name}: {n} rows -> {args.out}")
+    else:
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        print(df.head(args.head).to_string())
+        print(f"[{len(df)} rows]")
+    ray.shutdown()
+    return 0
+
+
 def cmd_build_models(args) -> int:
     from tiny_lingua_ray.models.train import ensure_models
 
@@ -163,6 +203,19 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("build-models", help="build n-gram model tables")
     b.set_defaults(fn=cmd_build_models)
+
+    q = sub.add_parser(
+        "query", help="run a registered operator pipeline over an sf dir"
+    )
+    q.add_argument("--name", default="")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None,
+                   help="parquet output path/dir (default: print head)")
+    q.add_argument("--head", type=int, default=10)
+    q.add_argument("--list", action="store_true",
+                   help="list available query names")
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
 
     a = sub.add_parser(
         "accuracy-report", help="run the conformance accuracy report"
