@@ -52,15 +52,19 @@ def test_fnv_batch_matches_scalar(strs):
 @given(
     st.lists(st.floats(min_value=-1e3, max_value=1e3,
                        allow_nan=False), min_size=65, max_size=400),
-    st.floats(min_value=0.05, max_value=50.0, allow_nan=False),
+    st.integers(min_value=-8, max_value=8),
 )
-def test_afp64_amplitude_invariant(samples, scale):
-    """Fingerprint bits depend only on RELATIVE segment energies —
-    positive scaling never changes them."""
+def test_afp64_amplitude_invariant(samples, k):
+    """Fingerprint bits depend only on RELATIVE segment energies.  The
+    bit-exact guarantee is for power-of-two scaling (exact in IEEE754);
+    arbitrary scaling is only NEAR-invariant — float rounding can flip
+    a bit whose segment energies tie to the last ulp (hypothesis found
+    such a counterexample), which is why audio_near_dup pairs at
+    Hamming<=3 rather than 0."""
     from tiny_lingua_ray.stages.multimodal import afp64
 
     x = np.asarray(samples, dtype=np.float64)
-    assert afp64(x) == afp64(x * scale)
+    assert afp64(x) == afp64(x * 2.0 ** k)
 
 
 @settings(max_examples=100, deadline=None)

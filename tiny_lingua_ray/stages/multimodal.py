@@ -136,8 +136,10 @@ class ImageFeatures:
 def afp64(samples: np.ndarray) -> int:
     """64-bit audio fingerprint: sign of energy DELTA across 65 equal
     segments (Shazam-lite / Haitsma–Kalker style sub-fingerprint) —
-    invariant to amplitude scaling, near-invariant to small noise, so
-    perceptual near-dups land at small Hamming distance."""
+    bit-exact under power-of-two amplitude scaling (IEEE754-exact),
+    NEAR-invariant to arbitrary scaling and small noise (float rounding
+    can flip near-tied segment comparisons), so perceptual near-dups
+    land at small Hamming distance rather than 0."""
     if len(samples) < 65:
         return 0
     segs = np.array_split(samples.astype(np.float64), 65)
