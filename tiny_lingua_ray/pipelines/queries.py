@@ -2795,6 +2795,103 @@ def q_generic_right_join(sf_dir: str):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+_SEARCH_TERMS = ("table", "spark", "query")
+
+
+def q_search_docs(sf_dir: str):
+    """Keyword search: rank documents by summed TF-IDF of the query
+    terms, exact global top-20.  Two linear scans, zero corpus
+    shuffles: (1) per-block (term, df, N) partials -> O(terms) driver
+    idf table -> ray.put once; (2) scoring scan with per-block partial
+    top-k -> <= blocks x K driver merge (the word_freq_top20 argument:
+    a block's local top-k is exhaustive for the global top-k)."""
+    import ray
+
+    terms = list(_SEARCH_TERMS)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        counts = {t: 0 for t in terms}
+        for txt in texts:
+            ws = set((txt or "").split(" "))
+            for t in terms:
+                if t in ws:
+                    counts[t] += 1
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array([counts[t] for t in terms], pa.int64()),
+                "n": pa.array(
+                    [len(texts)] * len(terms), pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .to_pandas()  # O(terms x blocks)
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+    N = int(parts.groupby("term")["n"].sum().iloc[0])
+    df_tot = parts.groupby("term")["df"].sum()
+    idf = {
+        t: float(np.log(N / df_tot[t]))
+        for t in terms
+        if df_tot[t] > 0
+    }
+    idf_ref = ray.put(idf)
+
+    K = 20
+
+    def score_partial(b: pa.Table, *, idf_ref) -> pa.Table:
+        w = ray.get(idf_ref) if hasattr(idf_ref, "hex") else idf_ref
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_id, out_s = [], []
+        for i, txt in zip(ids, texts):
+            ws = (txt or "").split(" ")
+            s = 0.0
+            for t in terms:
+                if t in w:
+                    c = ws.count(t)
+                    if c:
+                        s += c * w[t]
+            if s > 0.0:
+                out_id.append(i)
+                out_s.append(s)
+        # rank on the ROUNDED score (the oracle's ORDER BY uses the
+        # rounded alias) so boundary ties resolve identically
+        d = pd.DataFrame(
+            {"doc_id": out_id, "score": np.round(out_s, 6)}
+        )
+        d = d.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(K)
+        return pa.table(
+            {
+                "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+                "score": pa.array(d["score"].to_numpy(), pa.float64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            score_partial, fn_kwargs={"idf_ref": idf_ref},
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # <= blocks x K rows
+    )
+    return out.sort_values(
+        ["score", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(K)
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -2843,6 +2940,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "tokenize_docs": q_tokenize_docs,
     "generic_right_join": q_generic_right_join,
+    "search_docs": q_search_docs,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3299,6 +3397,22 @@ ORACLE["zscore_outliers"] = """
            ROUND((d.n_chars - s.m) / s.sd, 6) AS z
     FROM documents d JOIN s ON s.lang = d.lang
     WHERE s.sd > 0 AND ABS((d.n_chars - s.m) / s.sd) > 1.5
+"""
+ORACLE["search_docs"] = """
+    WITH tf AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w IN ('table', 'spark', 'query')
+      GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS d FROM tf GROUP BY w)
+    SELECT tf.doc_id,
+           ROUND(SUM(tf.c * LN((SELECT COUNT(*) FROM documents) * 1.0
+                               / df.d)), 6) AS score
+    FROM tf JOIN df ON df.w = tf.w
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 20
 """
 ORACLE["generic_right_join"] = """
     SELECT c.c_custkey AS custkey,
