@@ -129,8 +129,10 @@ def cmd_query(args) -> int:
             )
             n = len(res)
         else:
-            # Dataset: streaming write, one file per block (resumable
-            # layout is the flagship sink's job; this is the ad-hoc path)
+            # Dataset: materialize ONCE, then write + count from the
+            # same blocks (write_parquet would otherwise consume the
+            # lazy plan and count() would re-run the whole DAG)
+            res = res.materialize()
             res.write_parquet(args.out)
             n = res.count()
         print(f"{args.name}: {n} rows -> {args.out}")

@@ -1271,7 +1271,9 @@ def q_zscore_outliers(sf_dir: str):
     stats_ref = ray.put(stats)
 
     def flag(b: pa.Table, *, stats_ref) -> pa.Table:
-        st = ray.get(stats_ref) if hasattr(stats_ref, "hex") else stats_ref
+        from tiny_lingua_ray.tableutil import deref
+
+        st = deref(stats_ref)
         lang = pd.Series(b.column("lang").to_pandas())
         x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(
             np.float64
@@ -2478,7 +2480,9 @@ def q_winsorize_chars(sf_dir: str):
     b_ref = ray.put(bounds)
 
     def clip(b: pa.Table, *, b_ref) -> pa.Table:
-        bd = ray.get(b_ref) if hasattr(b_ref, "hex") else b_ref
+        from tiny_lingua_ray.tableutil import deref
+
+        bd = deref(b_ref)
         lang = pd.Series(b.column("lang").to_pandas())
         x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(
             np.int64
@@ -2519,7 +2523,9 @@ def q_mode_event_type(sf_dir: str):
                 "event_type": b.column("event_type"),
             }
         ).to_pandas()
-        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        g = df.groupby(
+            ["user_id", "event_type"], as_index=False, dropna=False
+        ).size()
         uid = g["user_id"].to_numpy()
         return pa.table(
             {
@@ -2541,9 +2547,9 @@ def q_mode_event_type(sf_dir: str):
     def mode_in_shard(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
             return empty
-        g = df.groupby(["user_id", "event_type"], as_index=False)[
-            "cnt"
-        ].sum()
+        g = df.groupby(
+            ["user_id", "event_type"], as_index=False, dropna=False
+        )["cnt"].sum()
         g = g.sort_values(
             ["user_id", "cnt", "event_type"],
             ascending=[True, False, True],
@@ -2668,7 +2674,8 @@ def q_event_transitions(sf_dir: str):
             pd.DataFrame(
                 {"from_type": et[:-1][same], "to_type": et[1:][same]}
             )
-            .groupby(["from_type", "to_type"], as_index=False)
+            .groupby(["from_type", "to_type"], as_index=False,
+                     dropna=False)  # NULL from_type is a real group
             .size()
         )
         if len(g) == 0:
@@ -2682,7 +2689,9 @@ def q_event_transitions(sf_dir: str):
         )
 
     def merge(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+        g = df.groupby(
+            ["from_type", "to_type"], as_index=False, dropna=False
+        )["n"].sum()
         return pa.table(
             {
                 "from_type": pa.array(g["from_type"], pa.string()),
@@ -2723,12 +2732,16 @@ def q_tokenize_docs(sf_dir: str):
     v_ref = ray.put(vocab)
 
     def tok(b: pa.Table, *, v_ref) -> pa.Table:
-        v = ray.get(v_ref) if hasattr(v_ref, "hex") else v_ref
+        from tiny_lingua_ray.tableutil import deref
+
+        v = deref(v_ref)
         ids = b.column("doc_id").to_pylist()
         texts = b.column("text").to_pylist()
         out_ids, out_seq, out_n = [], [], []
         for i, t in zip(ids, texts):
             toks = [v[w] for w in (t or "").split(" ") if w in v]
+            if not toks:
+                continue  # oracle's inner join drops token-less docs
             out_ids.append(i)
             out_seq.append("-".join(map(str, toks)))
             out_n.append(len(toks))
@@ -2849,20 +2862,24 @@ def q_search_docs(sf_dir: str):
     K = 20
 
     def score_partial(b: pa.Table, *, idf_ref) -> pa.Table:
-        w = ray.get(idf_ref) if hasattr(idf_ref, "hex") else idf_ref
+        from tiny_lingua_ray.tableutil import deref
+
+        w = deref(idf_ref)
         ids = b.column("doc_id").to_pylist()
         texts = b.column("text").to_pylist()
         out_id, out_s = [], []
         for i, txt in zip(ids, texts):
             ws = (txt or "").split(" ")
             s = 0.0
+            matched = False
             for t in terms:
                 if t in w:
                     c = ws.count(t)
                     if c:
+                        matched = True
                         s += c * w[t]
-            if s > 0.0:
-                out_id.append(i)
+            if matched:  # a term with idf=0 still matches (score 0),
+                out_id.append(i)  # exactly like the oracle's SUM row
                 out_s.append(s)
         # rank on the ROUNDED score (the oracle's ORDER BY uses the
         # rounded alias) so boundary ties resolve identically
@@ -3302,7 +3319,12 @@ def _minhash_oracle() -> str:
     UHUGEINT mod 2^64), 16 bands of 4, candidate = equal band slice.
     The a/b permutation constants come from the engine's own arrays so
     the two sides cannot drift."""
-    from tiny_lingua_ray.stages.dedup import _A, _B, _MERSENNE
+    from tiny_lingua_ray.stages.dedup import (
+        _A,
+        _B,
+        _MERSENNE,
+        MAX_BUCKET,
+    )
 
     a_sql = ", ".join(str(int(x)) for x in _A)
     b_sql = ", ".join(str(int(x)) for x in _B)
@@ -3321,8 +3343,8 @@ def _minhash_oracle() -> str:
                  list(mv ORDER BY i) AS sig
           FROM sigs GROUP BY doc_id, CAST(i // 4 AS INT)),
         kept AS (
-          -- replay the engine's MAX_BUCKET=64 hot-bucket skew cap:
-          -- within each (band, signature) bucket only the 64 smallest
+          -- replay the engine's MAX_BUCKET={MAX_BUCKET} hot-bucket skew cap:
+          -- within each (band, signature) bucket only the {MAX_BUCKET} smallest
           -- doc_ids pair (deterministic first-by-id, dedup.py
           -- _pairs_in_partition); binds at sf0.1+, no-op below
           SELECT doc_id, band, sig,
@@ -3334,7 +3356,7 @@ def _minhash_oracle() -> str:
           FROM kept a
           JOIN kept b ON a.band = b.band AND a.sig = b.sig
                       AND a.doc_id < b.doc_id
-          WHERE a.rn <= 64 AND b.rn <= 64)
+          WHERE a.rn <= {MAX_BUCKET} AND b.rn <= {MAX_BUCKET})
         SELECT id_a, id_b, COUNT(*) AS n_bands FROM pairs GROUP BY 1, 2
     """
 

@@ -36,7 +36,9 @@ def gradient_partial(batch: pa.Table, *, w_ref, feature_cols,
     """One block's contribution: sum_i x_i (p_i - y_i), loss sum, n."""
     import ray
 
-    w = ray.get(w_ref) if hasattr(w_ref, "hex") else w_ref
+    from tiny_lingua_ray.tableutil import deref
+
+    w = deref(w_ref)
     X = np.column_stack(
         [np.ones(batch.num_rows)]
         + [
@@ -97,7 +99,9 @@ def logreg_score(ds, w, feature_cols, id_column: str,
     w_ref = ray.put(np.asarray(w, dtype=np.float64))
 
     def score(batch: pa.Table) -> pa.Table:
-        ww = ray.get(w_ref) if hasattr(w_ref, "hex") else w_ref
+        from tiny_lingua_ray.tableutil import deref
+
+        ww = deref(w_ref)
         X = np.column_stack(
             [np.ones(batch.num_rows)]
             + [

@@ -34,13 +34,39 @@ import pyarrow as pa
 _DEFAULT_BROADCAST = 64 * 1024 * 1024  # 64 MiB
 
 
-def _key_shard(vals: np.ndarray, P: int) -> np.ndarray:
-    if np.issubdtype(vals.dtype, np.integer):
+def _promote_key(lt: pa.DataType, rt: pa.DataType) -> pa.DataType:
+    """One key type for BOTH sides — sharding and matching must see the
+    same values, so both sides cast to this before anything else."""
+    if lt.equals(rt):
+        return lt
+    if pa.types.is_integer(lt) and pa.types.is_integer(rt):
+        return pa.int64()
+    num = (
+        (pa.types.is_integer(lt) or pa.types.is_floating(lt))
+        and (pa.types.is_integer(rt) or pa.types.is_floating(rt))
+    )
+    if num:
+        return pa.float64()
+    if pa.types.is_string(lt) and pa.types.is_string(rt):
+        return pa.string()
+    raise TypeError(f"cannot join key types {lt} and {rt}")
+
+
+def _key_shard(key: pa.ChunkedArray | pa.Array, P: int) -> np.ndarray:
+    """Shard from the CAST key column (null -> shard 0; null keys never
+    match anyway, they just need a deterministic home)."""
+    import pyarrow.compute as pc
+
+    t = key.type
+    if pa.types.is_integer(t):
+        vals = pc.fill_null(key, 0).to_numpy(zero_copy_only=False)
         return (vals.astype(np.int64) % P).astype(np.int64)
     from tiny_lingua_ray.models.train import fnv1a_64_batch
 
+    vals = key.to_pylist()
     return (
-        fnv1a_64_batch([str(v) for v in vals]) % np.uint64(P)
+        fnv1a_64_batch(["" if v is None else repr(v) for v in vals])
+        % np.uint64(P)
     ).astype(np.int64)
 
 
@@ -98,12 +124,25 @@ def _apply_dtypes(df: pd.DataFrame, tgt: dict) -> pd.DataFrame:
 
 def _merged_frame(ldf: pd.DataFrame, rdf: pd.DataFrame, on: str,
                   how: str, rre: dict) -> pd.DataFrame:
+    # SQL semantics: a NULL key matches NOTHING (pandas would match
+    # NaN to NaN) — null-key rows survive only as the unmatched side
+    # of an outer join
+    lnull = ldf[on].isna()
+    rnull = rdf[on].isna()
     if how in ("semi", "anti"):
-        keys = set(rdf[on].tolist())
-        mask = ldf[on].isin(keys)
+        keys = set(rdf.loc[~rnull, on].tolist())
+        mask = ldf[on].isin(keys) & ~lnull
         return (ldf[mask] if how == "semi" else ldf[~mask]).copy()
     rdf = rdf.rename(columns=rre)
-    return ldf.merge(rdf, on=on, how="outer" if how == "full" else how)
+    out = ldf[~lnull].merge(
+        rdf[~rnull], on=on, how="outer" if how == "full" else how
+    )
+    parts = [out]
+    if how in ("left", "full") and lnull.any():
+        parts.append(ldf[lnull])
+    if how in ("right", "full") and rnull.any():
+        parts.append(rdf[rnull])
+    return pd.concat(parts, ignore_index=True) if len(parts) > 1 else out
 
 
 def hash_join(left, right, on: str, how: str = "inner",
@@ -128,6 +167,15 @@ def hash_join(left, right, on: str, how: str = "inner",
     rschema = pa.schema(
         [(n, _to_pa(t)) for n, t in zip(rs.names, rs.types)]
     )
+    key_type = _promote_key(
+        lschema.field(on).type, rschema.field(on).type
+    )
+    lschema = pa.schema(
+        [(f.name, key_type if f.name == on else f.type) for f in lschema]
+    )
+    rschema = pa.schema(
+        [(f.name, key_type if f.name == on else f.type) for f in rschema]
+    )
     lcols = [f.name for f in lschema]
     rre = {
         f.name: f"r_{f.name}"
@@ -147,11 +195,23 @@ def hash_join(left, right, on: str, how: str = "inner",
     )
 
     if can_broadcast:
-        rdf = right.to_pandas()  # bounded by broadcast_threshold
+        rdf = right.map_batches(
+            lambda b: b.set_column(
+                b.column_names.index(on), on,
+                b.column(on).cast(key_type),
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()  # bounded by broadcast_threshold
         r_ref = ray.put(rdf)
 
+        from tiny_lingua_ray.tableutil import deref
+
         def bjoin(batch: pa.Table, *, r_ref) -> pa.Table:
-            r = ray.get(r_ref) if hasattr(r_ref, "hex") else r_ref
+            r = deref(r_ref)
+            batch = batch.set_column(
+                batch.column_names.index(on), on,
+                batch.column(on).cast(key_type),
+            )
             out = _merged_frame(batch.to_pandas(), r, on, how, rre)
             out = _apply_dtypes(out, tgt)
             return pa.Table.from_pandas(out, preserve_index=False)
@@ -182,7 +242,8 @@ def hash_join(left, right, on: str, how: str = "inner",
                     [rename.get(c, c) for c in batch.column_names]
                 )
             n = batch.num_rows
-            key = batch.column(on).to_numpy(zero_copy_only=False)
+            key = batch.column(on).cast(key_type)  # shard AFTER cast:
+            # equal keys must co-locate regardless of source dtype
             cols = []
             for fld in unified:
                 if fld.name == "__side":
@@ -215,12 +276,26 @@ def hash_join(left, right, on: str, how: str = "inner",
         preserve_index=False,
     )
 
-    def merge_shard(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
+    def merge_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return empty
-        ldf = df.loc[df["__side"] == 0, lcols]
-        rdf = df.loc[df["__side"] == 1, rcols_out].rename(
-            columns={v: k for k, v in rre.items()}
+        import pyarrow.compute as pc
+
+        side = t.column("__side")
+        # split at the ARROW level: each side's own columns carry no
+        # padding nulls in its own rows, so ints convert to pandas as
+        # int64 (no lossy float64 transit for values >= 2^53)
+        ldf = t.filter(pc.equal(side, 0)).select(lcols).to_pandas()
+        rdf = (
+            t.filter(pc.equal(side, 1))
+            .select(rcols_out)
+            .rename_columns(
+                [
+                    {v: k for k, v in rre.items()}.get(c, c)
+                    for c in rcols_out
+                ]
+            )
+            .to_pandas()
         )
         out = _merged_frame(ldf, rdf, on, how, rre)
         out = _apply_dtypes(out, tgt)
@@ -230,5 +305,5 @@ def hash_join(left, right, on: str, how: str = "inner",
         tag(0, {}), batch_format="pyarrow"
     ).union(right.map_batches(tag(1, rre), batch_format="pyarrow"))
     return tagged.groupby("__shard").map_groups(
-        merge_shard, batch_format="pandas"
+        merge_shard, batch_format="pyarrow"
     )

@@ -20,3 +20,14 @@ def from_df(df: pd.DataFrame, preserve_index: bool = False) -> pa.Table:
     return pa.Table.from_pandas(
         df, preserve_index=preserve_index
     ).replace_schema_metadata(None)
+
+
+def deref(ref):
+    """Resolve a broadcast value that may arrive as a Ray ObjectRef
+    (fn_kwargs ship refs un-resolved; task-side ray.get is zero-copy)
+    or as the plain value (driver-side / no-Ray paths)."""
+    if hasattr(ref, "hex"):
+        import ray
+
+        return ray.get(ref)
+    return ref
