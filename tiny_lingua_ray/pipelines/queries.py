@@ -884,10 +884,13 @@ def q_knn_cosine_pq(sf_dir: str):
 def q_knn_cosine_ivf(sf_dir: str):
     """IVF approximate top-k — the scale path beside brute force: coarse
     quantizer trained on a bounded sample, centroids+queries broadcast
-    once, each query scans only its n_probe nearest cells.  At these
-    parameters recall is full on the driver data, so the exact SQL
-    oracle applies; production at 100 TB would run n_probe << n_cells
-    and trade recall for a proportional corpus-scan reduction."""
+    once, each query scans only its n_probe nearest cells.  Recall is
+    full at the driver-gate scales (sf0.001/0.01 — the exact SQL oracle
+    matches there) and measured 0.92 at sf0.1: the synthetic embeddings
+    are near-uniform (no cluster structure), the worst case for cell
+    pruning.  That is the documented approximation trade — production
+    at 100 TB runs n_probe << n_cells for a proportional corpus-scan
+    reduction and accepts recall < 1."""
     from tiny_lingua_ray.stages.similarity import knn_ivf
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -2574,7 +2577,11 @@ def q_above_avg_events(sf_dir: str):
     """Correlated-subquery pattern: events whose value exceeds their
     OWN user's mean — user-sharded so the group mean and the filter run
     in the SAME pass (one exchange, no broadcast of a data-sized mean
-    table, no second scan)."""
+    table, no second scan).  The comparison and the emitted aggregate
+    run in integer CENTS (values are 2-decimal): value > mean becomes
+    cents*n > sum_cents, exact in both engines — float means of
+    power-of-two group sizes land exactly on .5e-6 rounding boundaries
+    and diverge at the ulp level between engines (found at sf0.1)."""
     P = 16
 
     def add_shard(b: pa.Table) -> pa.Table:
@@ -2593,20 +2600,21 @@ def q_above_avg_events(sf_dir: str):
             "event_id": pa.array([], pa.int64()),
             "user_id": pa.array([], pa.int64()),
             "value": pa.array([], pa.float64()),
-            "user_mean": pa.array([], pa.float64()),
+            "sum_cents": pa.array([], pa.int64()),
+            "n_user": pa.array([], pa.int64()),
         }
     )
 
     def filter_in_shard(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
             return empty
-        m = df.groupby("user_id")["value"].transform("mean").to_numpy()
         v = df["value"].to_numpy(np.float64)
-        keep = v > m
-        # DuckDB ROUND is half-AWAY-from-zero; np.round is half-even —
-        # means like 44.7590625 land on the boundary, so match DuckDB
-        mk = m[keep]
-        m6 = np.sign(mk) * np.floor(np.abs(mk) * 1e6 + 0.5) / 1e6
+        cents = np.round(v * 100.0).astype(np.int64)
+        g = pd.DataFrame({"u": df["user_id"].to_numpy(), "c": cents})
+        gg = g.groupby("u")["c"]
+        sum_c = gg.transform("sum").to_numpy()
+        n_u = gg.transform("size").to_numpy()
+        keep = cents * n_u > sum_c
         return pa.table(
             {
                 "event_id": pa.array(
@@ -2616,7 +2624,8 @@ def q_above_avg_events(sf_dir: str):
                     df["user_id"].to_numpy()[keep], pa.int64()
                 ),
                 "value": pa.array(np.round(v[keep], 6)),
-                "user_mean": pa.array(m6),
+                "sum_cents": pa.array(sum_c[keep]),
+                "n_user": pa.array(n_u[keep].astype(np.int64)),
             }
         )
 
@@ -3482,13 +3491,16 @@ ORACLE["mode_event_type"] = """
     WHERE rn = 1
 """
 ORACLE["above_avg_events"] = """
-    SELECT event_id, user_id, ROUND(value, 6) AS value,
-           ROUND(user_mean, 6) AS user_mean
-    FROM (
+    WITH t AS (
       SELECT event_id, user_id, value,
-             AVG(value) OVER (PARTITION BY user_id) AS user_mean
-      FROM events) t
-    WHERE value > user_mean
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_user,
+             SUM(CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id) AS sum_cents
+      FROM events)
+    SELECT event_id, user_id, ROUND(value, 6) AS value,
+           sum_cents, CAST(n_user AS BIGINT) AS n_user
+    FROM t WHERE cents * n_user > sum_cents
 """
 ORACLE["winsorize_chars"] = """
     WITH s AS (
