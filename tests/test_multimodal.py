@@ -156,3 +156,14 @@ def test_afp64_invariances():
     b = rng.normal(0, 1, 8000)
     ham = bin(afp64(a) ^ afp64(b)).count("1")
     assert ham > 10, ham
+
+
+def test_video_near_dup_finds_perturbed_twins(ray_session):
+    """Every corner-perturbed re-encoded video twin pairs with its
+    original at Hamming<=3 on the mid-frame dHash; no cross pairs."""
+    from tiny_lingua_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["video_near_dup"]("/root/testdata/sf0.001").to_pandas()
+    twin = out[(out["id_b"] - out["id_a"]) == 10_000]
+    assert len(twin) == 32
+    assert len(out[(out["id_b"] - out["id_a"]) != 10_000]) == 0

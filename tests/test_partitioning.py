@@ -148,7 +148,8 @@ def test_queries_survive_empty_input(ray_session, tmp_path):
         "rolling_dau_7d", "conversion_funnel", "build_vocab",
         "winsorize_chars", "mode_event_type", "above_avg_events",
         "percent_rank_docs", "retention_cohorts", "cube_event_stats",
-        "semantic_dedup", "quality_classifier",
+        "semantic_dedup", "quality_classifier", "search_docs",
+        "tokenize_docs", "generic_right_join", "event_transitions",
     )
     import pandas as pd
 

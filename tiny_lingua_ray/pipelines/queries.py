@@ -54,6 +54,12 @@ def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
             s = pa.schema([s.field(c) for c in columns])
         kwargs["schema"] = s
     ds = rd.read_parquet(path, columns=columns, **kwargs)
+    if "schema" in kwargs:
+        # single-file reads got the metadata-stripped schema at the
+        # READ, so blocks are already clean — and skipping the strip
+        # map keeps ds.schema() resolvable on EMPTY inputs (a
+        # map_batches over zero blocks reports schema None)
+        return ds
     return ds.map_batches(
         lambda t: t.replace_schema_metadata(None),
         batch_format="pyarrow",
@@ -2777,23 +2783,19 @@ def q_generic_right_join(sf_dir: str):
 
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
-    ).map_batches(
-        lambda b: b.rename_columns(["o_orderkey", "custkey", "o_totalprice"]),
-        batch_format="pyarrow",
     )
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(
-        lambda b: b.rename_columns(["custkey", "c_acctbal"]),
-        batch_format="pyarrow",
-    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    # left_on/right_on: no pre-rename map_batches (which would erase
+    # schema knowledge on empty inputs); output key keeps the left name
     out = hash_join(
-        orders, cust, on="custkey", how="right",
-        broadcast_threshold=0, num_shards=16,
+        orders, cust, left_on="o_custkey", right_on="c_custkey",
+        how="right", broadcast_threshold=0, num_shards=16,
     )
 
     def final(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "custkey": b.column("custkey"),
+                "custkey": b.column("o_custkey"),
                 "o_orderkey": b.column("o_orderkey").cast(pa.float64()),
                 "o_totalprice": pa.array(
                     np.round(
@@ -2918,6 +2920,60 @@ def q_search_docs(sf_dir: str):
     ).head(K)
 
 
+def q_video_near_dup(sf_dir: str):
+    """Perceptual VIDEO dedup completing the media trio: mid-frame
+    dHash (VideoFeatures actor pool, frame-sampled) -> Hamming<=3 pairs
+    via the shared banding core.  Twins are re-encoded copies with one
+    corner pixel-block perturbed per frame (not byte copies), so the
+    pairing proves the frame-hash's robustness.  Synthetic media ->
+    rows-only; the banding core is SQL-oracle-verified through
+    simhash_pairs."""
+    import ray.data as rd
+
+    from tiny_lingua_ray.sources.media import make_video_table
+    from tiny_lingua_ray.stages.dedup import hamming_near_dup_pairs
+    from tiny_lingua_ray.stages.multimodal import (
+        VideoFeatures,
+        decode_video,
+        encode_raw_video,
+    )
+
+    t = make_video_table(32)
+    ids = t.column("media_id").to_pylist()
+    payloads = t.column("payload").to_pylist()
+    twin_ids, twin_payloads = [], []
+    for i, p in zip(ids, payloads):
+        frames, fps = decode_video(p)
+        f2 = frames.copy()
+        f2[:, :2, :2, :] = 255 - f2[:, :2, :2, :]  # corner perturbation
+        twin_ids.append(i + 10_000)
+        twin_payloads.append(encode_raw_video(f2, fps))
+    twins = pa.table(
+        {
+            "media_id": pa.array(twin_ids, t.schema.field("media_id").type),
+            "kind": pa.array(["video"] * len(twin_ids), pa.string()),
+            "payload": pa.array(twin_payloads, pa.binary()),
+        }
+    )
+    t = pa.concat_tables(
+        [t.select(["media_id", "kind", "payload"]), twins]
+    )
+    sigs = (
+        rd.from_arrow(t)
+        .map_batches(
+            VideoFeatures,
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=2,
+            num_cpus=1,
+        )
+        .select_columns(["media_id", "mid_dhash"])
+    )
+    return hamming_near_dup_pairs(
+        sigs, max_hamming=3, id_column="media_id", hash_column="mid_dhash"
+    )
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -2967,6 +3023,7 @@ QUERIES = {
     "tokenize_docs": q_tokenize_docs,
     "generic_right_join": q_generic_right_join,
     "search_docs": q_search_docs,
+    "video_near_dup": q_video_near_dup,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,

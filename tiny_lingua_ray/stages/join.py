@@ -145,12 +145,20 @@ def _merged_frame(ldf: pd.DataFrame, rdf: pd.DataFrame, on: str,
     return pd.concat(parts, ignore_index=True) if len(parts) > 1 else out
 
 
-def hash_join(left, right, on: str, how: str = "inner",
+def hash_join(left, right, on: str | None = None, how: str = "inner",
               broadcast_threshold: int = _DEFAULT_BROADCAST,
-              num_shards: int = 32):
-    """Join two Ray Datasets on one key column.  Returns a Dataset."""
+              num_shards: int = 32, left_on: str | None = None,
+              right_on: str | None = None):
+    """Join two Ray Datasets on one key column (``on``, or
+    ``left_on``/``right_on`` when the sides name it differently — the
+    output key keeps the LEFT name).  Returns a Dataset."""
     if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(f"unsupported join type: {how}")
+    if on is None and (left_on is None or right_on is None):
+        raise ValueError("pass on= or both left_on= and right_on=")
+    lkey = left_on or on
+    rkey = right_on or on
+    on = lkey
     import ray
 
     def _to_pa(t):
@@ -164,8 +172,12 @@ def hash_join(left, right, on: str, how: str = "inner",
     lschema = pa.schema(
         [(n, _to_pa(t)) for n, t in zip(ls.names, ls.types)]
     )
+    # the right key is exposed under the LEFT key's name downstream
     rschema = pa.schema(
-        [(n, _to_pa(t)) for n, t in zip(rs.names, rs.types)]
+        [
+            (on if n == rkey else n, _to_pa(t))
+            for n, t in zip(rs.names, rs.types)
+        ]
     )
     key_type = _promote_key(
         lschema.field(on).type, rschema.field(on).type
@@ -195,12 +207,18 @@ def hash_join(left, right, on: str, how: str = "inner",
     )
 
     if can_broadcast:
+
+        def _prep_r(b: pa.Table) -> pa.Table:
+            if rkey != on:
+                b = b.rename_columns(
+                    [on if c == rkey else c for c in b.column_names]
+                )
+            return b.set_column(
+                b.column_names.index(on), on, b.column(on).cast(key_type)
+            )
+
         rdf = right.map_batches(
-            lambda b: b.set_column(
-                b.column_names.index(on), on,
-                b.column(on).cast(key_type),
-            ),
-            batch_format="pyarrow",
+            _prep_r, batch_format="pyarrow"
         ).to_pandas()  # bounded by broadcast_threshold
         r_ref = ray.put(rdf)
 
@@ -237,6 +255,10 @@ def hash_join(left, right, on: str, how: str = "inner",
 
     def tag(side: int, rename: dict):
         def f(batch: pa.Table) -> pa.Table:
+            if side == 1 and rkey != on:
+                batch = batch.rename_columns(
+                    [on if c == rkey else c for c in batch.column_names]
+                )
             if rename:
                 batch = batch.rename_columns(
                     [rename.get(c, c) for c in batch.column_names]
