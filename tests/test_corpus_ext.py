@@ -38,7 +38,8 @@ def ddb():
      "percent_rank_docs", "cube_event_stats", "retention_cohorts",
      "conversion_funnel", "pretraining_prep", "winsorize_chars",
      "mode_event_type", "above_avg_events", "event_transitions",
-     "tokenize_docs", "generic_right_join", "search_docs"],
+     "tokenize_docs", "generic_right_join", "search_docs",
+     "pmi_top20"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES

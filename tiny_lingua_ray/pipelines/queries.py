@@ -2974,6 +2974,214 @@ def q_video_near_dup(sf_dir: str):
     )
 
 
+def q_pmi_top20(sf_dir: str):
+    """Collocation mining: top-20 adjacent bigrams by pointwise mutual
+    information, min count 5.  Scale shape: unigram and bigram Counter
+    partials ride their own hash shards (exact counts, one exchange
+    each); the PMI join then attaches n(a) and n(b) to each bigram via
+    TWO word-keyed cogroups (bigrams reshard by w1, then by w2 — never
+    a broadcast of the data-sized unigram table); ranking reuses the
+    exhaustive shard-topk argument on the ROUNDED score."""
+    P, K, MIN_N = 16, 20, 5
+    from tiny_lingua_ray.models.train import fnv1a_64
+
+    def parts(batch: pa.Table) -> tuple:
+        from collections import Counter
+
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            ws = [w for w in (t or "").split(" ") if w]
+            uni.update(ws)
+            bi.update(zip(ws[:-1], ws[1:]))
+        return uni, bi
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        uni, _ = parts(batch)
+        words = list(uni)
+        return pa.table(
+            {
+                "shard": pa.array(
+                    np.fromiter(
+                        (fnv1a_64(w) % P for w in words),
+                        dtype=np.int64, count=len(words),
+                    )
+                ),
+                "word": pa.array(words, pa.string()),
+                "c": pa.array(list(uni.values()), pa.int64()),
+            }
+        )
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        _, bi = parts(batch)
+        return pa.table(
+            {
+                "shard": pa.array(
+                    np.fromiter(
+                        (fnv1a_64(a + "\x1f" + b) % P for a, b in bi),
+                        dtype=np.int64, count=len(bi),
+                    )
+                ),
+                "w1": pa.array([a for a, _ in bi], pa.string()),
+                "w2": pa.array([b for _, b in bi], pa.string()),
+                "c": pa.array(list(bi.values()), pa.int64()),
+            }
+        )
+
+    def sum_uni(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"word": pd.Series([], dtype=str),
+                                 "c": pd.Series([], dtype="int64")})
+        return df.groupby("word", as_index=False)["c"].sum()
+
+    def sum_bi(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"w1": pd.Series([], dtype=str),
+                                 "w2": pd.Series([], dtype=str),
+                                 "c": pd.Series([], dtype="int64")})
+        return df.groupby(["w1", "w2"], as_index=False)["c"].sum()
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    uni = (
+        docs.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("shard").map_groups(sum_uni, batch_format="pandas")
+        .materialize()
+    )
+    bi = (
+        docs.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby("shard").map_groups(sum_bi, batch_format="pandas")
+        .materialize()
+    )
+    T = int(uni.sum("c"))
+    B = int(bi.sum("c"))
+
+    # cogroup 1: attach n(w1) — bigrams reshard by hash(w1)
+    def key_by(col: str, side_cols):
+        def f(b: pa.Table) -> pa.Table:
+            words = b.column(col).to_pylist()
+            shard = np.fromiter(
+                (fnv1a_64(w) % P for w in words),
+                dtype=np.int64, count=len(words),
+            )
+            return b.append_column("shard2", pa.array(shard))
+
+        return f
+
+    def attach(count_col: str, join_col: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            u = df[df["w2"].isna()]  # unigram rows (no w2)
+            g = df[df["w2"].notna()]
+            if len(g) == 0:
+                return pd.DataFrame(
+                    {"w1": pd.Series([], dtype=str),
+                     "w2": pd.Series([], dtype=str),
+                     "c": pd.Series([], dtype="int64"),
+                     count_col: pd.Series([], dtype="int64")}
+                )
+            lookup = dict(zip(u["w1"], u["c"]))
+            out = g.copy()
+            out[count_col] = out[join_col].map(lookup).astype("int64")
+            return out[[c for c in out.columns
+                        if c not in ("shard", "shard2")]]
+
+        return f
+
+    # tag unigram rows into the same keyed stream (w1 carries the word)
+    def uni_as_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "w1": b.column("word"),
+                "w2": pa.nulls(b.num_rows, pa.string()),
+                "c": b.column("c"),
+            }
+        )
+
+    bi1 = (
+        bi.map_batches(key_by("w1", None), batch_format="pyarrow")
+        .union(
+            uni.map_batches(uni_as_side, batch_format="pyarrow")
+            .map_batches(key_by("w1", None), batch_format="pyarrow")
+        )
+        .groupby("shard2")
+        .map_groups(attach("na", "w1"), batch_format="pandas")
+    )
+
+    def uni_as_side2(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "w1": b.column("word"),
+                "w2": pa.nulls(b.num_rows, pa.string()),
+                "c": b.column("c"),
+                "na": pa.nulls(b.num_rows, pa.int64()),
+            }
+        )
+
+    def attach2(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[df["w2"].isna()]
+        g = df[df["w2"].notna()]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype=str),
+                 "w2": pd.Series([], dtype=str),
+                 "pmi": pd.Series([], dtype="float64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        lookup = dict(zip(u["w1"], u["c"]))
+        nb = g["w2"].map(lookup).astype("int64").to_numpy()
+        nab = g["c"].to_numpy(np.float64)
+        na = g["na"].to_numpy(np.float64)
+        pmi = np.log((nab / B) / ((na / T) * (nb / T)))
+        out = pd.DataFrame(
+            {"w1": g["w1"], "w2": g["w2"],
+             "pmi": np.round(pmi, 6), "n": g["c"].to_numpy()}
+        )
+        out = out[out["n"] >= MIN_N]
+        return out.sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True]
+        ).head(K)
+
+    # cogroup 2: reshard the (bigram, na) rows by hash(w2)
+    def key2(b: pa.Table) -> pa.Table:
+        words = b.column("w2").to_pylist()
+        shard = np.fromiter(
+            (fnv1a_64(w if w is not None else "") % P for w in words),
+            dtype=np.int64, count=len(words),
+        )
+        return b.append_column("shard2", pa.array(shard))
+
+    def key2_uni(b: pa.Table) -> pa.Table:
+        # unigram side keys by ITS word (w1) so it meets bigrams whose
+        # w2 equals that word
+        words = b.column("w1").to_pylist()
+        shard = np.fromiter(
+            (fnv1a_64(w) % P for w in words),
+            dtype=np.int64, count=len(words),
+        )
+        return b.append_column("shard2", pa.array(shard))
+
+    out = (
+        bi1.map_batches(key2, batch_format="pyarrow")
+        .union(
+            uni.map_batches(uni_as_side2, batch_format="pyarrow")
+            .map_batches(key2_uni, batch_format="pyarrow")
+        )
+        .groupby("shard2")
+        .map_groups(attach2, batch_format="pandas")
+        .to_pandas()  # <= P * K rows
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"w1": pd.Series([], dtype=str),
+             "w2": pd.Series([], dtype=str),
+             "pmi": pd.Series([], dtype="float64"),
+             "n": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values(
+        ["pmi", "w1", "w2"], ascending=[False, True, True],
+        ignore_index=True,
+    ).head(K)
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "filter_project_part": q_filter_project_part,
@@ -3024,6 +3232,7 @@ QUERIES = {
     "generic_right_join": q_generic_right_join,
     "search_docs": q_search_docs,
     "video_near_dup": q_video_near_dup,
+    "pmi_top20": q_pmi_top20,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3485,6 +3694,31 @@ ORACLE["zscore_outliers"] = """
            ROUND((d.n_chars - s.m) / s.sd, 6) AS z
     FROM documents d JOIN s ON s.lang = d.lang
     WHERE s.sd > 0 AND ABS((d.n_chars - s.m) / s.sd) > 1.5
+"""
+ORACLE["pmi_top20"] = """
+    WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT UNNEST(ws) AS w FROM toks) WHERE w <> '' GROUP BY w),
+    bi AS (
+      SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS c
+      FROM (SELECT UNNEST(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS pr
+            FROM toks)
+      GROUP BY 1, 2),
+    tot AS (SELECT (SELECT SUM(c) FROM uni) AS T,
+                   (SELECT SUM(c) FROM bi) AS B)
+    SELECT b.w1, b.w2,
+           ROUND(LN((b.c * 1.0 / t.B)
+                    / ((ua.c * 1.0 / t.T) * (ub.c * 1.0 / t.T))), 6)
+             AS pmi,
+           b.c AS n
+    FROM bi b
+    CROSS JOIN tot t
+    JOIN uni ua ON ua.w = b.w1
+    JOIN uni ub ON ub.w = b.w2
+    WHERE b.c >= 5
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 20
 """
 ORACLE["search_docs"] = """
     WITH tf AS (
