@@ -3052,8 +3052,15 @@ def q_pmi_top20(sf_dir: str):
         .groupby("shard").map_groups(sum_bi, batch_format="pandas")
         .materialize()
     )
-    T = int(uni.sum("c"))
-    B = int(bi.sum("c"))
+    T = int(uni.sum("c") or 0)  # Dataset.sum -> None on empty input
+    B = int(bi.sum("c") or 0)
+    if T == 0 or B == 0:
+        return pd.DataFrame(
+            {"w1": pd.Series([], dtype=str),
+             "w2": pd.Series([], dtype=str),
+             "pmi": pd.Series([], dtype="float64"),
+             "n": pd.Series([], dtype="int64")}
+        )
 
     # cogroup 1: attach n(w1) — bigrams reshard by hash(w1)
     def key_by(col: str, side_cols):
