@@ -21,3 +21,35 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _install_empty_bundle_warning_filter() -> None:
+    """Silence Ray's schema-divergence warning ONLY for untyped empty
+    bundles (``new schema: .``).
+
+    Ray's range-partitioning sort emits zero-row, zero-column blocks
+    whenever the group-key cardinality is below the partition count
+    (e.g. ``PARTITION BY lang`` with 5 languages over 32 sort ranges —
+    inherent at test scale, vanishing at production scale), and
+    ``map_groups`` forwards them because the UDF is never invoked for
+    an empty block (ray/data/grouped_data.py ``_apply_udf_to_groups``
+    iterates group boundaries, of which an empty block has none).  The
+    noise is not reachable from user code; a genuine mismatch between
+    two NAMED schemas still warns.
+    """
+    import logging
+
+    class _DropEmptySchemaDivergence(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:  # noqa: A003
+            msg = record.getMessage()
+            return not (
+                "RefBundle with a different schema" in msg
+                and "new schema: ." in msg
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropEmptySchemaDivergence())
+
+
+_install_empty_bundle_warning_filter()

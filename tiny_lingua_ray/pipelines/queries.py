@@ -2629,7 +2629,7 @@ def q_above_avg_events(sf_dir: str):
                 "user_id": pa.array(
                     df["user_id"].to_numpy()[keep], pa.int64()
                 ),
-                "value": pa.array(np.round(v[keep], 6)),
+                "value": pa.array(v[keep]),
                 "sum_cents": pa.array(sum_c[keep]),
                 "n_user": pa.array(n_u[keep].astype(np.int64)),
             }
@@ -3796,7 +3796,7 @@ ORACLE["above_avg_events"] = """
              SUM(CAST(ROUND(value * 100) AS BIGINT))
                OVER (PARTITION BY user_id) AS sum_cents
       FROM events)
-    SELECT event_id, user_id, ROUND(value, 6) AS value,
+    SELECT event_id, user_id, value,
            sum_cents, CAST(n_user AS BIGINT) AS n_user
     FROM t WHERE cents * n_user > sum_cents
 """
@@ -3981,3 +3981,75 @@ QUERIES.update(QUERIES_CORPUS)
 ORACLE.update(ORACLE_CORPUS)
 ORACLE["dedup_clusters"] = _dedup_clusters_oracle(ORACLE["jaccard_pairs"])
 ORACLE["dedup_keep_first"] = _dedup_keep_first_oracle(ORACLE["jaccard_pairs"])
+
+# ---------------------------------------------------------------------------
+# Registry ordering.  The correctness driver verifies only the FIRST 50
+# ``queries()`` entries against their DuckDB oracles, so the registry is
+# ordered with SQL-oracled queries first — the 43 extended/corpus queries
+# that had never reached the driver's window through round 3, then 7
+# re-promoted round-3 entries (the fixed ``above_avg_events``, the
+# re-measured ``minhash_dedup``, and the heavier dedup chains) — and
+# rows-only entries last.  Every entry keeps its oracle regardless of
+# position; this only rotates which 50 get the driver's hard hash check.
+_ORACLED_HEAD = [
+    # never driver-checked before round 4 (QUERIES_EXT + QUERIES_CORPUS)
+    "fingerprint",
+    "jaccard_pairs",
+    "knn_cosine",
+    "knn_cosine_ivf",
+    "embedding_label_stats",
+    "cosine_near_dup",
+    "anti_join_inactive_customers",
+    "rollup_pricing",
+    "running_total",
+    "event_gaps",
+    "range_join_size_buckets",
+    "substring_filter",
+    "stratified_sample",
+    "json_extract_stats",
+    "pivot_event_counts",
+    "group_percentiles",
+    "order_lineitem_band_join",
+    "asof_event_order",
+    "semi_join_big_spenders",
+    "group_topk_docs",
+    "hash_split",
+    "rolling_7d_value",
+    "percentiles_chars",
+    "bloom_semi_join",
+    "full_outer_user_days",
+    "corr_qty_price",
+    "global_rank_docs",
+    "ntile_quartiles",
+    "intersect_users",
+    "unpivot_event_counts",
+    "left_join_customer_orders",
+    "value_stats",
+    "star_join_region_stats",
+    "tfidf_top_terms",
+    "lang_word_top5",
+    "dedup_clusters",
+    "dedup_keep_first",
+    "repetition_signals",
+    "source_stats",
+    "lang_balanced_sample",
+    "pack_sequences",
+    "decontaminate",
+    "incremental_dedup",
+    # round-3-checked entries re-promoted into the window
+    "above_avg_events",
+    "minhash_dedup",
+    "exact_dedup",
+    "paragraph_dedup",
+    "edit_distance_pairs",
+    "simhash_pairs",
+    "pretraining_prep",
+]
+assert len(_ORACLED_HEAD) == 50 and len(set(_ORACLED_HEAD)) == 50
+assert all(k in QUERIES and k in ORACLE for k in _ORACLED_HEAD)
+_ORDER = (
+    _ORACLED_HEAD
+    + [k for k in QUERIES if k in ORACLE and k not in set(_ORACLED_HEAD)]
+    + [k for k in QUERIES if k not in ORACLE]
+)
+QUERIES = {k: QUERIES[k] for k in _ORDER}

@@ -42,7 +42,10 @@ def canonical_hash(df: pd.DataFrame) -> str:
         if col.dtype == object:
             df[c] = col.astype(str)
         elif str(col.dtype).startswith("float"):
-            df[c] = col.map(lambda v: f"{v:.9g}")
+            # 17 significant digits round-trips float64 exactly, so this
+            # local gate is at least as strict as the driver's hash (the
+            # old %.9g masked last-ulp divergences the driver catches).
+            df[c] = col.map(lambda v: f"{v:.17g}")
         else:
             df[c] = col.astype(str)
     rows = sorted("\x01".join(r) for r in df.itertuples(index=False, name=None))
