@@ -161,3 +161,39 @@ def test_semantic_dedup_prune_rule_and_determinism(ray_session):
     assert out.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_semantic_dedup_auto_clusters_bound_groups(ray_session):
+    """auto_clusters derives n_clusters from the corpus size so no
+    single Ray group (cluster) materializes more than ~max_cluster rows
+    even on a skewed corpus — the 100-TB guard: a fixed default of 8
+    would land 70% of this corpus in one pandas group."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.RandomState(17)
+    D, N = 16, 2000
+    hot = rng.normal(0, 1, D)
+    # 70% of rows in one loose blob (splittable by k-means), 30% spread
+    n_hot = int(N * 0.7)
+    V = np.concatenate(
+        [
+            hot[None, :] + rng.normal(0, 0.4, (n_hot, D)),
+            rng.normal(0, 1, (N - n_hot, D)),
+        ]
+    )
+    emb = pd.DataFrame(
+        {"vec_id": np.arange(N, dtype=np.int64), "embedding": list(V)}
+    )
+
+    MAX_CLUSTER = 100
+    out = semantic_dedup(
+        rd.from_pandas(emb), n_clusters=8, tau=0.99, max_cluster=MAX_CLUSTER
+    ).to_pandas()
+    assert len(out) == N
+    sizes = out.groupby("cluster").size()
+    # derived k = ceil(N / (MAX_CLUSTER // 4)) = 80 -> expected 25/cluster
+    assert len(sizes) >= N // MAX_CLUSTER
+    assert sizes.max() <= MAX_CLUSTER, sizes.max()

@@ -24,16 +24,46 @@ def _pick_queries(ds, query_ids, id_column: str):
     qset = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_column).to_pylist())
+        ids = _ids(batch, id_column)
         return batch.filter(pa.array(np.isin(ids, qset)))
 
     return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
 
 
+def _ids(batch: pa.Table, name: str) -> np.ndarray:
+    """Integer id column -> int64 numpy, no per-element Python objects."""
+    return batch.column(name).to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False
+    )
+
+
 def _as_matrix(col) -> np.ndarray:
-    """list<float> column -> [R, D] float64 matrix."""
-    arr = col.to_pylist()
-    return np.asarray(arr, dtype=np.float64)
+    """list<float> column -> [R, D] float64 matrix.
+
+    Vectorized Arrow decode: flatten the (fixed-size-)list values buffer
+    and reshape — no ``to_pylist`` per-element Python round-trip in the
+    ANN hot path (every batch of brute/IVF/PQ/kmeans/semantic goes
+    through here).  Assumes non-null, equal-length vectors, which the
+    embeddings tables guarantee.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # older pyarrow keeps CA
+            col = (
+                col.chunk(0) if col.num_chunks == 1
+                else pa.concat_arrays(col.chunks)
+            )
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if isinstance(col.type, pa.ExtensionType):
+        # Ray's ArrowTensorArray (from_pandas with ndarray cells):
+        # to_numpy() yields the stacked [R, D] tensor directly
+        return np.asarray(
+            col.to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(n, -1)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -62,7 +92,7 @@ class BruteForceTopK:
         self.vec_column = vec_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self.id_column).to_pylist())
+        ids = _ids(batch, self.id_column)
         M = _normalize(_as_matrix(batch.column(self.vec_column)))
         sims = self.Q @ M.T  # [q, rows]
         qcol, ncol, scol = [], [], []
@@ -187,7 +217,7 @@ class IVFTopK:
         self.vec_column = vec_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self.id_column).to_pylist())
+        ids = _ids(batch, self.id_column)
         M = _normalize(_as_matrix(batch.column(self.vec_column)))
         cells = (M @ self.C.T).argmax(axis=1)
         qcol, ncol, scol = [], [], []
@@ -325,7 +355,7 @@ def _pq_batch(batch: pa.Table, state_ref=None, state=None, k: int = 5,
     Q = state["Q"]                              # [q, D] unit
     m, kc, d = B.shape
 
-    ids = np.asarray(batch.column(id_column).to_pylist())
+    ids = _ids(batch, id_column)
     M = _normalize(_as_matrix(batch.column(vec_column)))
     R = len(ids)
 
@@ -465,7 +495,7 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95,
     import pandas as pd
 
     def emit_bands(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
+        ids = _ids(batch, id_column)
         if (ids >= (1 << 32)).any():
             raise ValueError(
                 f"{id_column} >= 2^32 cannot be packed into the pair key"
@@ -661,7 +691,8 @@ def kmeans_assign(ds, n_clusters: int = 8, sample_size: int = 4096,
 def semantic_dedup(ds, n_clusters: int = 8, tau: float = 0.95,
                    sample_size: int = 4096, id_column: str = "vec_id",
                    vec_column: str = "embedding",
-                   max_cluster: int = 200_000):
+                   max_cluster: int = 200_000,
+                   auto_clusters: bool = True):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): spherical k-means clusters the embedding corpus
     (bounded-sample fit, broadcast centroids, zero-shuffle assign);
@@ -673,13 +704,28 @@ def semantic_dedup(ds, n_clusters: int = 8, tau: float = 0.95,
     Scale shape: ONE cluster-key exchange; the in-cluster prune is a
     blocked V @ V.T (row blocks of 1024 against the cluster matrix, so
     memory is O(block x |cluster|), never |cluster|^2 at once).
-    Clusters larger than ``max_cluster`` are pruned only against their
-    first ``max_cluster`` members (logged, never silent) — production
-    raises n_clusters so clusters stay bounded.
+    ``auto_clusters`` (default) derives ``n_clusters`` from the corpus
+    row count so the EXPECTED cluster lands at ``max_cluster / 4`` rows
+    — without it, a fixed default of 8 would put ~corpus/8 rows (with
+    their embedding vectors) into a single pandas group on one worker
+    at 100-TB scale.  Residual skew beyond the bound is still pruned
+    only against the first ``max_cluster`` members (logged, never
+    silent).
 
     Returns (id, cluster, kept) for every input row.
     """
     import logging
+
+    if auto_clusters:
+        # metadata-only count on a parquet read; one pass on derived
+        # inputs.  Expected cluster size == count / n_clusters; target
+        # half the hard cap so typical skew stays under it.
+        total = ds.count()
+        target = max(1, max_cluster // 4)
+        n_clusters = max(n_clusters, -(-total // target))
+        # the k-means fit needs comfortably more sample rows than
+        # centroids once the derived k grows
+        sample_size = max(sample_size, 4 * n_clusters)
 
     sample = ds.limit(sample_size).to_pandas()
     if len(sample) == 0:  # empty input: typed empty result
