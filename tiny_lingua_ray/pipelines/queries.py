@@ -619,12 +619,15 @@ def q_edit_distance_pairs(sf_dir: str):
         simhash_near_dup_pairs,
     )
 
+    from tiny_lingua_ray.stages.partitioning import shards_for
+
     K = 10
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32)
     cands = simhash_near_dup_pairs(docs, max_hamming=3, scheme="md5")
     paired = attach_pair_texts(
         _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32),
         cands,
+        num_shards=shards_for(docs),
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -1179,7 +1182,12 @@ def q_event_sequences(sf_dir: str):
     the ordered-collect (string_agg ... ORDER BY) primitive.  All events
     of a user land in one shard, so the in-shard sort is globally
     correct per user; ties on ts break by event_id (unique)."""
-    P = 16
+    from tiny_lingua_ray.stages.partitioning import shards_for
+
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    P = shards_for(ds)
 
     def add_shard(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
@@ -1218,9 +1226,6 @@ def q_event_sequences(sf_dir: str):
             }
         )
 
-    ds = _read(
-        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
-    )
     return (
         ds.map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
@@ -1327,8 +1332,9 @@ def _paragraph_dedup_ds(ds, carry_source: bool = False):
     three stages so composites can partition downstream without a join.
     """
     from tiny_lingua_ray.models.train import fnv1a_64_batch
+    from tiny_lingua_ray.stages.partitioning import shards_for
 
-    W, P = 20, 16
+    W, P = 20, shards_for(ds)
 
     def chunk(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_pylist()
@@ -2588,7 +2594,10 @@ def q_above_avg_events(sf_dir: str):
     cents*n > sum_cents, exact in both engines — float means of
     power-of-two group sizes land exactly on .5e-6 rounding boundaries
     and diverge at the ulp level between engines (found at sf0.1)."""
-    P = 16
+    from tiny_lingua_ray.stages.partitioning import shards_for
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    P = shards_for(ds)
 
     def add_shard(b: pa.Table) -> pa.Table:
         uid = b.column("user_id").to_numpy(zero_copy_only=False)
@@ -2635,7 +2644,6 @@ def q_above_avg_events(sf_dir: str):
             }
         )
 
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
     return (
         ds.map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")

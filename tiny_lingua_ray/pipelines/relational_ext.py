@@ -866,7 +866,11 @@ def q_running_total(sf_dir: str):
     pandas-C sort + groupby-cumsum per shard.  Per-row output (as the
     window function emits) — at scale this streams back out block by
     block, never through the driver."""
-    P = 16
+    from tiny_lingua_ray.stages.partitioning import shards_for
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    # next power of two >= the size-derived count (bit_wise_and mask)
+    P = 1 << (shards_for(ds) - 1).bit_length()
 
     def prep(b: pa.Table) -> pa.Table:
         uid = pc.cast(b.column("user_id"), pa.int64())
@@ -902,8 +906,7 @@ def q_running_total(sf_dir: str):
         )
 
     return (
-        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
-        .map_batches(prep, batch_format="pyarrow")
+        ds.map_batches(prep, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(cumsum_in_shard, batch_format="pandas")
     )

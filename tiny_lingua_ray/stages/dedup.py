@@ -387,6 +387,13 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
 
     ``scheme="md5"`` makes the whole sketch SQL-oracle-verifiable (see
     char_shingles); "fnv" is the cheaper scale default."""
+    from tiny_lingua_ray.stages.partitioning import shards_for
+
+    # size-derived fan-outs: each coarse bucket-group / pair-merge shard
+    # is ONE pandas materialization, so both scale with the input (the
+    # floors reproduce the former fixed constants at test scale)
+    num_groups = shards_for(ds, lo=NUM_BUCKET_GROUPS)
+    merge_shards = shards_for(ds, lo=16)
     sig = ds.map_batches(
         minhash_batch,
         fn_kwargs={"text_column": text_column, "id_column": id_column,
@@ -398,7 +405,7 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
         bucket = batch.column("bucket").to_numpy(zero_copy_only=False)
         gkey = (
             (bucket ^ (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
-            % np.uint64(NUM_BUCKET_GROUPS)
+            % np.uint64(num_groups)
         ).astype(np.int64)
         return batch.append_column("gkey", pa.array(gkey))
 
@@ -423,7 +430,7 @@ def minhash_lsh_candidates(ds, text_column: str = "text", id_column: str = "doc_
             np.uint64
         )
         return batch.append_column(
-            "shard", pa.array((k % np.uint64(16)).astype(np.int64))
+            "shard", pa.array((k % np.uint64(merge_shards)).astype(np.int64))
         )
 
     def merge_shard(df):
@@ -501,6 +508,8 @@ def simhash_near_dup_pairs(
     bands).  ``scheme="md5"`` makes the whole operator SQL-verifiable via
     the simhash oracle + bit_count(xor) self-join.
     """
+    from tiny_lingua_ray.stages.partitioning import shards_for
+
     sigs = ds.map_batches(
         simhash_batch,
         fn_kwargs={"text_column": text_column, "id_column": id_column,
@@ -510,6 +519,10 @@ def simhash_near_dup_pairs(
     return hamming_near_dup_pairs(
         sigs, max_hamming=max_hamming, id_column=id_column,
         hash_column="simhash",
+        # size-derived fan-outs, computed on the RAW read (size_bytes on
+        # the derived sigs dataset would execute it)
+        num_groups=shards_for(ds, lo=NUM_BUCKET_GROUPS),
+        merge_shards=shards_for(ds, lo=16),
     )
 
 
@@ -518,6 +531,8 @@ def hamming_near_dup_pairs(
     max_hamming: int = 3,
     id_column: str = "doc_id",
     hash_column: str = "simhash",
+    num_groups: int = NUM_BUCKET_GROUPS,
+    merge_shards: int = 16,
 ):
     """(id_a, id_b, hamming) pairs over ANY precomputed uint64 sketch
     column — the pigeonhole-banding core shared by text SimHash
@@ -549,7 +564,7 @@ def hamming_near_dup_pairs(
         )
         gkey = (
             (bucket ^ (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
-            % np.uint64(NUM_BUCKET_GROUPS)
+            % np.uint64(num_groups)
         ).astype(np.int64)
         return pa.table(
             {
@@ -608,7 +623,9 @@ def hamming_near_dup_pairs(
             {
                 "pair_key": pa.array(pk, pa.uint64()),
                 "hamming": pa.array(np.concatenate(hd_parts)),
-                "shard": pa.array((pk % np.uint64(16)).astype(np.int64)),
+                "shard": pa.array(
+                    (pk % np.uint64(merge_shards)).astype(np.int64)
+                ),
             }
         )
 

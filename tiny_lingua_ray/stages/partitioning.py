@@ -38,6 +38,27 @@ from tiny_lingua_ray.tableutil import from_df as _from_df
 SALT_COL = "__salt"
 
 
+def shards_for(ds, target_bytes: int = 64 << 20, lo: int = 16,
+               hi: int = 1 << 20) -> int:
+    """Coarse shard-group count for the one-exchange ``map_groups``
+    idiom, derived from the input size.
+
+    Each coarse group materializes as ONE pandas frame on one worker, so
+    the group count must scale with the data: ``ceil(bytes /
+    target_bytes)``, floored at ``lo`` (16 keeps every CPU busy at test
+    scale) and capped at ``hi``.  Call it on the SOURCE read —
+    ``size_bytes()`` there is a metadata-only estimate, while on a
+    derived dataset it would execute the pipeline.  The shard id is a
+    pure routing key (each in-shard function still groups by the true
+    key), so any shard count yields identical results.
+    """
+    try:
+        nbytes = int(ds.size_bytes() or 0)
+    except Exception:  # noqa: BLE001 — size unknown: fall back to floor
+        nbytes = 0
+    return int(max(lo, min(hi, -(-nbytes // target_bytes))))
+
+
 def key_shares(ds, key: str) -> pd.DataFrame:
     """Per-key row share via per-batch count partials -> one tiny
     groupby.  Returns columns (key, n, share) sorted by share desc;

@@ -490,9 +490,16 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95,
     path in stages/dedup.py): ONE shuffle into coarse groups, per-bucket
     exact cosines (pairs verified where the vectors already are — no
     second gather), hot buckets capped at ``max_bucket`` with logged
-    drops, packed-int64 pair keys shard-merged for dedup.
+    drops, packed-int64 pair keys shard-merged for dedup.  Both fan-outs
+    derive from the input size (each coarse group / merge shard is one
+    pandas materialization).
     """
     import pandas as pd
+
+    from tiny_lingua_ray.stages.partitioning import shards_for
+
+    num_groups = shards_for(ds, lo=_NUM_COS_GROUPS)
+    merge_shards = shards_for(ds, lo=16)
 
     def emit_bands(batch: pa.Table) -> pa.Table:
         ids = _ids(batch, id_column)
@@ -516,7 +523,7 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95,
             (buckets.astype(np.uint64)
              ^ (np.arange(n_bands, dtype=np.uint64)[None, :]
                 * np.uint64(0x9E3779B97F4A7C15)))
-            % np.uint64(_NUM_COS_GROUPS)
+            % np.uint64(num_groups)
         ).astype(np.int64)
         return pa.table(
             {
@@ -588,7 +595,7 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95,
             np.uint64
         )
         return batch.append_column(
-            "shard", pa.array((k % np.uint64(16)).astype(np.int64))
+            "shard", pa.array((k % np.uint64(merge_shards)).astype(np.int64))
         )
 
     def dedup_shard(df: pd.DataFrame) -> pd.DataFrame:
