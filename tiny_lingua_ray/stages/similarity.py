@@ -66,6 +66,49 @@ def _as_matrix(col) -> np.ndarray:
     return flat.astype(np.float64, copy=False).reshape(n, -1)
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a deterministic uniform hash of
+    int ids for sampling decisions."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _hash_sample(ds, id_column: str, sample_size: int):
+    """Bounded DRIVER sample for quantizer/centroid fits, picked by a
+    deterministic id-hash threshold instead of ``limit()`` —
+    ``limit(n)`` takes the FIRST blocks, which at scale biases the fit
+    toward whatever shard order the reader produced (time- or
+    source-correlated data would give unrepresentative centroids).
+    Hash-threshold sampling touches every block uniformly and is
+    rerun-identical: the final cut keeps the ``sample_size`` SMALLEST id
+    hashes (ties by id), which is independent of block arrival order —
+    ``limit()`` after a parallel filter would return whichever blocks
+    finished first.  Corpora at or below ``sample_size`` rows are
+    returned whole (so small/test scales behave exactly as before)."""
+    total = ds.count()  # metadata-only on a parquet read
+    if total <= sample_size:
+        return ds.to_pandas()
+    frac = min(1.0, 2.0 * sample_size / total)  # 2x target for the cut
+    thr = np.uint64(min(2**64 - 1, int(frac * 2.0**64)))
+
+    def pick(b: pa.Table) -> pa.Table:
+        h = _mix64(_ids(b, id_column))
+        return b.filter(pa.array(h <= thr))
+
+    cand = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    # canonical (hash, id) order: both membership AND row order are then
+    # independent of how blocks were concatenated
+    ids = cand[id_column].to_numpy().astype(np.int64)
+    order = np.lexsort((ids, _mix64(ids)))[:sample_size]
+    return cand.iloc[order].reset_index(drop=True)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -256,7 +299,7 @@ def knn_ivf(ds, query_ids, k: int = 5, n_cells: int = 16, n_probe: int = 4,
     Q = _normalize(np.asarray(qtab[vec_column].tolist(), dtype=np.float64))
 
     # bounded training sample (driver holds <= sample_size rows)
-    sample = ds.limit(sample_size).to_pandas()
+    sample = _hash_sample(ds, id_column, sample_size)
     C = _spherical_kmeans(
         np.asarray(sample[vec_column].tolist(), dtype=np.float64), n_cells
     )
@@ -411,7 +454,7 @@ def knn_pq(ds, query_ids, k: int = 5, m_subspaces: int = 8,
     qtab = _pick_queries(ds, query_ids, id_column)
     Q = _normalize(np.asarray(qtab[vec_column].tolist(), dtype=np.float64))
 
-    sample = ds.limit(sample_size).to_pandas()
+    sample = _hash_sample(ds, id_column, sample_size)
     codebooks = pq_train(
         np.asarray(sample[vec_column].tolist(), dtype=np.float64),
         m_subspaces=m_subspaces, n_codes=n_codes,
@@ -673,7 +716,7 @@ def kmeans_assign(ds, n_clusters: int = 8, sample_size: int = 4096,
     SemDeDup-style pruning); at 100 TB the fit stays O(sample x k) on the
     driver and the assign stage is one matmul per batch with zero
     shuffles.  Returns (id, cluster, cosine_to_centroid) per row."""
-    sample = ds.limit(sample_size).to_pandas()
+    sample = _hash_sample(ds, id_column, sample_size)
     C = _spherical_kmeans(
         np.asarray(sample[vec_column].tolist(), dtype=np.float64), n_clusters,
         n_iter=n_iter,
@@ -734,7 +777,7 @@ def semantic_dedup(ds, n_clusters: int = 8, tau: float = 0.95,
         # centroids once the derived k grows
         sample_size = max(sample_size, 4 * n_clusters)
 
-    sample = ds.limit(sample_size).to_pandas()
+    sample = _hash_sample(ds, id_column, sample_size)
     if len(sample) == 0:  # empty input: typed empty result
         import ray.data as rd
 
