@@ -20,6 +20,7 @@ dedup and frequency counts, each in the repo's standard scale shapes:
 from __future__ import annotations
 
 import numpy as np
+from tiny_lingua_ray.tableutil import round_half_away as _rha
 import pandas as pd
 import pyarrow as pa
 
@@ -116,9 +117,9 @@ def q_tfidf_top_terms(sf_dir: str):
         tf = df.groupby(["lang", "word"], as_index=False)["cnt"].sum()
         dfreq = tf.groupby("word")["lang"].size().rename("df")
         tf = tf.join(dfreq, on="word")
-        tf["score"] = (
-            tf["cnt"] * np.log(n_langs / tf["df"].to_numpy())
-        ).round(6)
+        tf["score"] = _rha(
+            tf["cnt"] * np.log(n_langs / tf["df"].to_numpy()), 6
+        )
         tf = tf.sort_values(
             ["lang", "score", "word"], ascending=[True, False, True]
         )
@@ -358,7 +359,7 @@ def q_source_stats(sf_dir: str):
                 ),
                 "n_docs": pa.array([n], pa.int64()),
                 "avg_chars": pa.array(
-                    [round(float(df["sum_chars"].sum()) / n, 6)]
+                    [float(_rha(float(df["sum_chars"].sum()) / n, 6))]
                 ),
                 "n_langs": pa.array([df["lang"].nunique()], pa.int64()),
             }

@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from tiny_lingua_ray.tableutil import from_df as _from_df
+from tiny_lingua_ray.tableutil import round_half_away as _rha
 
 
 def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
@@ -126,9 +127,9 @@ def q_lineitem_pricing(sf_dir: str):
         )
         .to_pandas()
     )
-    out["sum_qty"] = out["sum_qty"].round(2)
-    out["sum_price"] = out["sum_price"].round(2)
-    out["avg_disc"] = (out["sum_disc"] / out["n_rows"]).round(6)
+    out["sum_qty"] = _rha(out["sum_qty"], 2)
+    out["sum_price"] = _rha(out["sum_price"], 2)
+    out["avg_disc"] = _rha(out["sum_disc"] / out["n_rows"], 6)
     return out[
         ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "avg_disc", "n_rows"]
     ]
@@ -174,7 +175,7 @@ def q_join_orders_customers(sf_dir: str):
         )
         .to_pandas()
     )
-    out["sum_total"] = out["sum_total"].round(2)
+    out["sum_total"] = _rha(out["sum_total"], 2)
     return out
 
 
@@ -294,7 +295,7 @@ def q_events_daily(sf_dir: str):
         )
         .to_pandas()
     )
-    out["sum_value"] = out["sum_value"].round(6)
+    out["sum_value"] = _rha(out["sum_value"], 6)
     return out
 
 
@@ -314,7 +315,7 @@ def q_doc_stats(sf_dir: str):
         )
         .to_pandas()
     )
-    out["avg_chars"] = (out["sum_chars"] / out["n_docs"]).round(6)
+    out["avg_chars"] = _rha(out["sum_chars"] / out["n_docs"], 6)
     return out
 
 
@@ -441,7 +442,7 @@ def q_mean_word_len(sf_dir: str):
             {
                 "doc_id": batch.column("doc_id"),
                 "n_words": pa.array(n_words.astype(np.int64)),
-                "mean_word_len": pa.array(np.round(mean_wl, 6)),
+                "mean_word_len": pa.array(_rha(mean_wl, 6)),
             }
         )
 
@@ -821,7 +822,7 @@ def jaccard_pairs_dataset(sf_dir: str, min_bands: int = 2):
             {
                 "id_a": (pku >> np.uint64(32)).astype(np.int64),
                 "id_b": (pku & np.uint64(0xFFFFFFFF)).astype(np.int64),
-                "jaccard": np.round(j[keep], 6),
+                "jaccard": _rha(j[keep], 6),
             }
         )
 
@@ -871,7 +872,7 @@ def q_knn_cosine(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = knn_brute_force(ds, query_ids=[0, 1, 2, 3, 4], k=5)
-    out["cosine"] = out["cosine"].round(4)
+    out["cosine"] = _rha(out["cosine"], 4)
     return out[["query_id", "neighbor_id", "cosine", "rank"]]
 
 
@@ -886,7 +887,7 @@ def q_knn_cosine_pq(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = knn_pq(ds, query_ids=[0, 1, 2, 3, 4], k=5)
-    out["cosine"] = out["cosine"].round(4)
+    out["cosine"] = _rha(out["cosine"], 4)
     return out[["query_id", "neighbor_id", "cosine", "rank"]]
 
 
@@ -906,7 +907,7 @@ def q_knn_cosine_ivf(sf_dir: str):
     out = knn_ivf(
         ds, query_ids=[0, 1, 2, 3, 4], k=5, n_cells=16, n_probe=12
     )
-    out["cosine"] = out["cosine"].round(4)
+    out["cosine"] = _rha(out["cosine"], 4)
     return out[["query_id", "neighbor_id", "cosine", "rank"]]
 
 
@@ -933,7 +934,7 @@ def q_embedding_label_stats(sf_dir: str):
         )
         .to_pandas()
     )
-    out["avg_norm"] = (out["sum_norm"] / out["n_vecs"]).round(4)
+    out["avg_norm"] = _rha(out["sum_norm"] / out["n_vecs"], 4)
     return out[["label", "n_vecs", "avg_norm"]]
 
 
@@ -1017,7 +1018,7 @@ def q_cosine_near_dup(sf_dir: str):
                 "cosine": pd.Series(dtype="float64"),
             }
         )
-    out["cosine"] = out["cosine"].round(4)
+    out["cosine"] = _rha(out["cosine"], 4)
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
@@ -1303,7 +1304,7 @@ def q_zscore_outliers(sf_dir: str):
                 "doc_id": b.column("doc_id").filter(pa.array(keep)),
                 "lang": b.column("lang").filter(pa.array(keep)),
                 "n_chars": b.column("n_chars").filter(pa.array(keep)),
-                "z": pa.array(np.round(z[keep], 6)),
+                "z": pa.array(_rha(z[keep], 6)),
             }
         )
 
@@ -2043,7 +2044,7 @@ def q_percent_rank_docs(sf_dir: str):
                 "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
                 "lang": pa.array(df["lang"], pa.string()),
                 "n_chars": pa.array(df["n_chars"].to_numpy(), pa.int64()),
-                "pr": pa.array(np.round(pr, 6)),
+                "pr": pa.array(_rha(pr, 6)),
             }
         )
 
@@ -2129,7 +2130,7 @@ def q_cube_event_stats(sf_dir: str):
              "n": pd.Series([], dtype="int64"),
              "sum_value": pd.Series([], dtype="float64")}
         )
-    out["sum_value"] = out["sum_value"].round(6)
+    out["sum_value"] = _rha(out["sum_value"], 6)
     return out[["event_type", "dow", "n", "sum_value"]]
 
 
@@ -2324,7 +2325,7 @@ def q_conversion_funnel(sf_dir: str):
         {
             "n_signup": [n_s],
             "n_converted": [n_c],
-            "conv_rate": [round(n_c / n_s, 6) if n_s else 0.0],
+            "conv_rate": [float(_rha(n_c / n_s, 6)) if n_s else 0.0],
         }
     )
 
@@ -2806,7 +2807,7 @@ def q_generic_right_join(sf_dir: str):
                 "custkey": b.column("o_custkey"),
                 "o_orderkey": b.column("o_orderkey").cast(pa.float64()),
                 "o_totalprice": pa.array(
-                    np.round(
+                    _rha(
                         b.column("o_totalprice")
                         .cast(pa.float64())
                         .to_numpy(zero_copy_only=False),
@@ -2814,7 +2815,7 @@ def q_generic_right_join(sf_dir: str):
                     )
                 ),
                 "c_acctbal": pa.array(
-                    np.round(
+                    _rha(
                         b.column("c_acctbal")
                         .cast(pa.float64())
                         .to_numpy(zero_copy_only=False),
@@ -2903,7 +2904,7 @@ def q_search_docs(sf_dir: str):
         # rank on the ROUNDED score (the oracle's ORDER BY uses the
         # rounded alias) so boundary ties resolve identically
         d = pd.DataFrame(
-            {"doc_id": out_id, "score": np.round(out_s, 6)}
+            {"doc_id": out_id, "score": _rha(out_s, 6)}
         )
         d = d.sort_values(
             ["score", "doc_id"], ascending=[False, True]
@@ -3148,7 +3149,7 @@ def q_pmi_top20(sf_dir: str):
         pmi = np.log((nab / B) / ((na / T) * (nb / T)))
         out = pd.DataFrame(
             {"w1": g["w1"], "w2": g["w2"],
-             "pmi": np.round(pmi, 6), "n": g["c"].to_numpy()}
+             "pmi": _rha(pmi, 6), "n": g["c"].to_numpy()}
         )
         out = out[out["n"] >= MIN_N]
         return out.sort_values(

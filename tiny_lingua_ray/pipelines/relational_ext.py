@@ -25,6 +25,7 @@ shard — one all-to-all exchange total, never one Ray group per key
 from __future__ import annotations
 
 import numpy as np
+from tiny_lingua_ray.tableutil import round_half_away as _rha
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -131,7 +132,7 @@ def q_order_lineitem_band_join(sf_dir: str):
         g = m.groupby("key", as_index=False).agg(
             n_items=("price", "size"), sum_price=("price", "sum")
         )
-        g["sum_price"] = g["sum_price"].round(2)
+        g["sum_price"] = _rha(g["sum_price"], 2)
         return g.rename(columns={"key": "o_orderkey"})
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
@@ -407,14 +408,14 @@ def q_rolling_7d_value(sf_dir: str):
         .aggregate(Sum("v", alias_name="v"))
         .to_pandas()
     )
-    daily["v"] = daily["v"].round(6)
+    daily["v"] = _rha(daily["v"], 6)
     daily = daily.sort_values(["event_type", "day"])
 
     def roll(g: pd.DataFrame) -> pd.Series:
         return g.rolling("7D", on="day")["v"].sum()
 
     daily["v7"] = (
-        daily.groupby("event_type", group_keys=False)[["day", "v"]].apply(roll).round(4)
+        _rha(daily.groupby("event_type", group_keys=False)[["day", "v"]].apply(roll), 4)
     )
     return daily[["event_type", "day", "v7"]]
 
@@ -901,7 +902,7 @@ def q_running_total(sf_dir: str):
                 "event_id": pa.array(df["event_id"].to_numpy(dtype=np.int64)),
                 "user_id": pa.array(df["user_id"].to_numpy(dtype=np.int64)),
                 "ts_us": pa.array(df["ts_us"].to_numpy(dtype=np.int64)),
-                "cum_value": pa.array(np.round(cum.to_numpy(), 6)),
+                "cum_value": pa.array(_rha(cum.to_numpy(), 6)),
             }
         )
 
@@ -955,7 +956,7 @@ def q_rollup_pricing(sf_dir: str):
         )
         .to_pandas()
     )
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = _rha(out["revenue"], 2)
     return out[["l_returnflag", "l_linestatus", "revenue", "n_rows"]]
 
 
@@ -1033,7 +1034,7 @@ def q_left_join_customer_orders(sf_dir: str):
                 "c_custkey": pa.array(m["key"].to_numpy(np.int64)),
                 "c_mktsegment": pa.array(m["seg"].tolist(), pa.string()),
                 "n_orders": pa.array(n),
-                "sum_spent": pa.array(np.round(s, 2)),
+                "sum_spent": pa.array(_rha(s, 2)),
             }
         )
 
@@ -1107,7 +1108,7 @@ def q_star_join_region_stats(sf_dir: str):
         {
             "r_name": out["r_name"],
             "n_customers": out["n"].astype(np.int64),
-            "avg_acctbal": np.round(out["s"] / out["n"], 6),
+            "avg_acctbal": _rha(out["s"] / out["n"], 6),
         }
     )
 
@@ -1265,7 +1266,7 @@ def q_corr_qty_price(sf_dir: str):
         {
             "l_returnflag": out["l_returnflag"],
             "n": out["n"].astype(np.int64),
-            "corr_qty_price": np.round(corr, 6),
+            "corr_qty_price": _rha(corr, 6),
         }
     )
 
@@ -1427,9 +1428,9 @@ def q_value_stats(sf_dir: str):
         {
             "event_type": out["event_type"],
             "n": out["n"].astype(np.int64),
-            "mean_value": np.round(mean, 6),
-            "stddev_value": np.round(np.sqrt(var), 6),
-            "var_value": np.round(var, 6),
+            "mean_value": _rha(mean, 6),
+            "stddev_value": _rha(np.sqrt(var), 6),
+            "var_value": _rha(var, 6),
         }
     )
 
@@ -1623,7 +1624,7 @@ def q_ntile_quartiles(sf_dir: str):
                 ),
                 "quartile": pa.array(g["quartile"].to_numpy(np.int64)),
                 "n_rows": pa.array(g["n_rows"].to_numpy(np.int64)),
-                "sum_value": pa.array(np.round(g["sum_value"].to_numpy(), 6)),
+                "sum_value": pa.array(_rha(g["sum_value"].to_numpy(), 6)),
             }
         )
 

@@ -22,6 +22,25 @@ def from_df(df: pd.DataFrame, preserve_index: bool = False) -> pa.Table:
     ).replace_schema_metadata(None)
 
 
+def round_half_away(x, ndigits: int):
+    """Round-half-away-from-zero, matching SQL ``ROUND`` semantics.
+
+    ``np.round`` rounds half-to-EVEN, DuckDB/ANSI ``ROUND`` half-AWAY;
+    the two diverge in the last ulp whenever ``x * 10^ndigits`` lands
+    exactly on an .5 boundary in float64 (e.g. means over power-of-two
+    group sizes — found by the driver's value hash on above_avg_events).
+    Off the boundary the scale-multiply paths agree, so this helper
+    strictly increases oracle agreement.  Every query that emits a
+    column the SQL oracle wraps in ``ROUND(...)`` must round through
+    here.
+    """
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    s = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
 def deref(ref):
     """Resolve a broadcast value that may arrive as a Ray ObjectRef
     (fn_kwargs ship refs un-resolved; task-side ray.get is zero-copy)
