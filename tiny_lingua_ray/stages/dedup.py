@@ -672,7 +672,10 @@ def attach_pair_texts(docs, pairs, num_shards: int = 16,
        (id_a, id_b, text_a, text_b).
 
     Ids must fit in 32 bits (asserted) — pair_key packs (a << 32) | b
-    like the jaccard path."""
+    like the jaccard path.  Size ``num_shards`` with
+    ``partitioning.shards_for(raw_docs_read)`` at scale (each cogroup
+    shard is one pandas materialization); the default matches the old
+    fixed constant at test scale."""
     P = num_shards
 
     def emit_requests(batch: pa.Table) -> pa.Table:
