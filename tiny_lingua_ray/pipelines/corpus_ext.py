@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 from tiny_lingua_ray.tableutil import round_half_away as _rha
+from tiny_lingua_ray.stages.partitioning import shards_for as _shards_for
+from tiny_lingua_ray.stages.partitioning import shards_for_table as _shards_for_table
 import pandas as pd
 import pyarrow as pa
 
@@ -60,7 +62,7 @@ def q_tfidf_top_terms(sf_dir: str):
     pre-pass, a distinct-partial aggregate."""
     from tiny_lingua_ray.models.train import fnv1a_64
 
-    P = 16
+    P = _shards_for_table(sf_dir, "documents")
 
     docs = _read(sf_dir, "documents", columns=["lang", "text"])
 
@@ -162,7 +164,7 @@ def q_dedup_clusters(sf_dir: str):
 
     # cluster sizes: label-sharded pandas-C size (cluster count can be
     # huge at scale — never one Ray group per cluster)
-    P = 16
+    P = _shards_for_table(sf_dir, "documents")
 
     def tag(b: pa.Table) -> pa.Table:
         lab = b.column("label").to_numpy(zero_copy_only=False)
@@ -438,7 +440,7 @@ def q_pack_sequences(sf_dir: str):
     exchange.  The oracle is the SQL window
     SUM() OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED
     PRECEDING AND 1 PRECEDING)."""
-    P = 16
+    P = _shards_for_table(sf_dir, "documents")
 
     # pass 0: max doc_id (order-free aggregate) for range sharding —
     # over a doc_id-ONLY read so the text column is decompressed exactly

@@ -21,6 +21,8 @@ import pyarrow.compute as pc
 
 from tiny_lingua_ray.tableutil import from_df as _from_df
 from tiny_lingua_ray.tableutil import round_half_away as _rha
+from tiny_lingua_ray.stages.partitioning import shards_for as _shards_for
+from tiny_lingua_ray.stages.partitioning import shards_for_table as _shards_for_table
 
 
 def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
@@ -202,9 +204,12 @@ def q_distinct_users_per_event(sf_dir: str):
     pay per-group Python overhead, so the wide dedup step avoids them)."""
     from ray.data.aggregate import Sum
 
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    P = _shards_for(ds)
+
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
-        df["shard"] = df["user_id"] % 16
+        df["shard"] = df["user_id"] % P
         return _from_df(df, preserve_index=False)
 
     def distinct_in_shard(df):
@@ -214,7 +219,6 @@ def q_distinct_users_per_event(sf_dir: str):
         )
         return _from_df(g, preserve_index=False)  # crosses the final shuffle
 
-    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby("shard")
@@ -231,7 +235,7 @@ def q_user_sessions(sf_dir: str):
     user cardinality is the scale killer (same pattern as exact_dedup,
     stages/dedup.py)."""
     GAP_US = 30 * 60 * 1_000_000
-    P = 16
+    P = _shards_for_table(sf_dir, "events")
 
     def add_shard(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
@@ -358,7 +362,7 @@ def q_word_freq_top20(sf_dir: str):
     final tie order is exhaustive for the global top-k."""
     from tiny_lingua_ray.models.train import fnv1a_64
 
-    P = 16
+    P = _shards_for_table(sf_dir, "documents")
     K = 20
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -696,7 +700,7 @@ def jaccard_pairs_dataset(sf_dir: str, min_bands: int = 2):
     ``stages.dedup.jaccard``)."""
     from tiny_lingua_ray.stages.dedup import char_shingles, minhash_lsh_candidates
 
-    P = 16
+    P = _shards_for_table(sf_dir, "documents")
     _SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32)
@@ -1441,7 +1445,7 @@ def q_bigram_top20(sf_dir: str):
     merge."""
     from tiny_lingua_ray.models.train import fnv1a_64
 
-    P = 16
+    P = _shards_for_table(sf_dir, "documents")
     K = 20
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1502,7 +1506,7 @@ def q_event_cooccurrence(sf_dir: str):
     correct), per-shard vectorized self-merge on the distinct
     (user, type) frame, then a tiny second-stage groupby (pair
     cardinality is O(|event_type|^2), not data-sized)."""
-    P = 16
+    P = _shards_for_table(sf_dir, "events")
 
     def add_shard(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
@@ -1562,7 +1566,7 @@ def q_latest_event_per_user(sf_dir: str):
     that keeps the exchange at O(users x blocks), never data-sized.
     Order: (ts, event_id) descending; event_id is unique so the winner
     is deterministic."""
-    P = 16
+    P = _shards_for_table(sf_dir, "events")
 
     def partial_argmax(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -1629,7 +1633,7 @@ def q_except_users(sf_dir: str):
     cohort).  Distinct partials on BOTH sides (per-block unique ->
     tiny), tagged union, ONE (key, side) exchange, per-shard set
     difference — the dual of q_intersect_users."""
-    P = 16
+    P = _shards_for_table(sf_dir, "events")
 
     def tag(col: str, side: int):
         def f(b: pa.Table) -> pa.Table:
@@ -1687,7 +1691,7 @@ def q_rolling_dau_7d(sf_dir: str):
 
     A user contributes exactly once to every day within 6 days after
     any activity — the interval union makes the count DISTINCT."""
-    P = 16
+    P = _shards_for_table(sf_dir, "events")
     DAY_US = 86_400_000_000
 
     def add_shard(b: pa.Table) -> pa.Table:
@@ -1786,7 +1790,7 @@ def q_union_users(sf_dir: str):
     Completes the set family (INTERSECT / EXCEPT / UNION) on the same
     skeleton: per-block distinct partials, one key exchange, per-shard
     unique."""
-    P = 16
+    P = _shards_for_table(sf_dir, "events")
 
     def tag(col: str):
         def f(b: pa.Table) -> pa.Table:
@@ -1896,7 +1900,7 @@ def q_build_vocab(sf_dir: str):
 
     from tiny_lingua_ray.models.train import fnv1a_64
 
-    P = 16
+    P = _shards_for_table(sf_dir, "documents")
 
     def partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -2009,7 +2013,7 @@ def q_percent_rank_docs(sf_dir: str):
     as q_ntile_quartiles."""
     from tiny_lingua_ray.models.train import fnv1a_64
 
-    P = 16
+    P = _shards_for_table(sf_dir, "documents")
 
     def add_shard(b: pa.Table) -> pa.Table:
         langs = b.column("lang").to_pylist()
@@ -2140,7 +2144,7 @@ def q_retention_cohorts(sf_dir: str):
     active.  User-sharded (first-week and week set both live in one
     shard), per-shard vectorized distinct + emit, then a tiny
     (cohort, k) count merge — cells are O(weeks²), never data-sized."""
-    P = 16
+    P = _shards_for_table(sf_dir, "events")
     WEEK_US = 7 * 86_400_000_000
     DAY_US = 86_400_000_000
 
@@ -2261,7 +2265,7 @@ def q_conversion_funnel(sf_dir: str):
     (each user's whole event history in one shard), per-shard vectorized
     first-signup + window probe, single-row (n_signup, n_converted,
     conv_rate) result from O(P) partials."""
-    P = 16
+    P = _shards_for_table(sf_dir, "events")
     WINDOW_US = 7 * 86_400_000_000
 
     def add_shard(b: pa.Table) -> pa.Table:
@@ -2530,7 +2534,7 @@ def q_mode_event_type(sf_dir: str):
     lexicographically first): per-BLOCK (user, type) count partials,
     one user-shard exchange of the partials (never the events), per-
     shard merge + vectorized argmax."""
-    P = 16
+    P = _shards_for_table(sf_dir, "events")
 
     def partial(b: pa.Table) -> pa.Table:
         df = pa.table(
@@ -2657,7 +2661,7 @@ def q_event_transitions(sf_dir: str):
     window function): user-sharded lexsort, vectorized shift within
     user, per-shard (from, to) count partials, tiny O(types²) merge —
     the behavioral-sequence-mining primitive."""
-    P = 16
+    P = _shards_for_table(sf_dir, "events")
 
     def add_shard(b: pa.Table) -> pa.Table:
         uid = b.column("user_id").to_numpy(zero_copy_only=False)

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import numpy as np
 from tiny_lingua_ray.tableutil import round_half_away as _rha
+from tiny_lingua_ray.stages.partitioning import shards_for as _shards_for
+from tiny_lingua_ray.stages.partitioning import shards_for_table as _shards_for_table
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -162,7 +164,7 @@ def q_asof_event_order(sf_dir: str):
     pandas ``merge_asof`` (sorted C merge) once per shard.  One
     exchange; per-shard memory is events+orders of 1/P of the users.
     """
-    P = 16
+    P = _shards_for_table(sf_dir, "events")
 
     def prep_events(b: pa.Table) -> pa.Table:
         uid = b.column("user_id")
@@ -805,7 +807,7 @@ def q_event_gaps(sf_dir: str):
     of its users), each shard does one pandas-C sort + per-user diff, and
     only (user, n, sum, max) rows leave.  All-integer microsecond output —
     no float accumulation, so the oracle compare is exact at any scale."""
-    P = 16
+    P = _shards_for_table(sf_dir, "events")
 
     def prep(b: pa.Table) -> pa.Table:
         uid = pc.cast(b.column("user_id"), pa.int64())
@@ -1289,7 +1291,7 @@ def q_global_rank_docs(sf_dir: str):
     range on doc_id."""
     import ray
 
-    P = 16
+    P = _shards_for_table(sf_dir, "documents")
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
     # splitter sample: hash-strided over doc_id, NOT limit() — the first
@@ -1477,7 +1479,7 @@ def q_bloom_semi_join(sf_dir: str):
     oracle as the broadcast path)."""
     import ray
 
-    P = 16
+    P = _shards_for_table(sf_dir, "orders")
 
     def bitmap_partial(b: pa.Table) -> pa.Table:
         keep = pc.greater(b.column("o_totalprice"), 300.0)
@@ -1645,7 +1647,7 @@ def q_intersect_users(sf_dir: str):
     distinct (user, type) partials -> one groupby(user % P) exchange ->
     per-shard "seen both types" test; only (user, flag) pairs ride the
     shuffle, never event rows."""
-    P = 16
+    P = _shards_for_table(sf_dir, "events")
 
     def partial(b: pa.Table) -> pa.Table:
         m = pc.is_in(

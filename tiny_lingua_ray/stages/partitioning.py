@@ -59,6 +59,28 @@ def shards_for(ds, target_bytes: int = 64 << 20, lo: int = 16,
     return int(max(lo, min(hi, -(-nbytes // target_bytes))))
 
 
+def shards_for_table(sf_dir: str, table: str,
+                     target_bytes: int = 16 << 20, lo: int = 16,
+                     hi: int = 1 << 20) -> int:
+    """``shards_for`` from the parquet ON-DISK size — no Dataset needed,
+    so it drops into any query as a one-line replacement for a fixed
+    shard constant.  The per-shard target is 16 MB on disk (~64 MB
+    in-memory at typical 2-5x parquet compression, matching
+    ``shards_for``'s in-memory target).  For multi-table queries pass
+    the LARGER table."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    nbytes = 0
+    if os.path.isfile(path):
+        nbytes = os.path.getsize(path)
+    elif os.path.isdir(path):
+        nbytes = sum(
+            e.stat().st_size for e in os.scandir(path) if e.is_file()
+        )
+    return int(max(lo, min(hi, -(-nbytes // target_bytes))))
+
+
 def key_shares(ds, key: str) -> pd.DataFrame:
     """Per-key row share via per-batch count partials -> one tiny
     groupby.  Returns columns (key, n, share) sorted by share desc;
