@@ -39,7 +39,7 @@ def ddb():
      "conversion_funnel", "pretraining_prep", "winsorize_chars",
      "mode_event_type", "above_avg_events", "event_transitions",
      "tokenize_docs", "generic_right_join", "search_docs",
-     "pmi_top20"],
+     "pmi_top20", "window_dedup"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES
@@ -277,3 +277,48 @@ def test_image_near_dup_finds_seeded_twins(ray_session):
         if i < 10_000}
     assert expected <= twins
     assert (out["hamming"] == 0).all()  # random payloads: only twins
+
+
+def test_window_dedup_planted_copies(ray_session, tmp_path):
+    """Behavioral check with planted duplicates: a verbatim copy of an
+    earlier doc is fully duplicate (is_dup), a half-copy is partially
+    duplicate, fresh text and the FIRST occurrence stay clean, and a
+    short doc (< one window) is excluded."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiny_lingua_ray.pipelines.corpus_ext import q_window_dedup
+
+    rng = np.random.RandomState(11)
+
+    def words(n):
+        return [
+            "".join(chr(97 + c) for c in rng.randint(0, 26, 7))
+            for _ in range(n)
+        ]
+
+    base = words(60)
+    fresh = words(60)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                " ".join(base),                       # first occurrence
+                " ".join(base),                       # verbatim copy
+                " ".join(base[:30] + words(30)),      # half copy
+                " ".join(fresh),                      # all fresh
+                " ".join(words(5)),                   # < one window
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+
+    out = q_window_dedup(str(tmp_path)).to_pandas()
+    out = out.set_index("doc_id")
+    assert 4 not in out.index  # too short for a single window
+    assert not out.loc[0, "is_dup"] and out.loc[0, "n_dup"] == 0
+    assert out.loc[1, "is_dup"]  # verbatim copy: every window duplicate
+    assert out.loc[1, "n_dup"] == out.loc[1, "n_windows"]
+    assert 0 < out.loc[2, "n_dup"] < out.loc[2, "n_windows"]  # half copy
+    assert not out.loc[3, "is_dup"] and out.loc[3, "n_dup"] == 0

@@ -797,6 +797,126 @@ def q_lang_word_top5(sf_dir: str):
     )
 
 
+_WIN_W, _WIN_S = 15, 5          # window width / stride (words)
+
+
+def q_window_dedup(sf_dir: str):
+    """Exact overlapping-WINDOW substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the ExactSubstr family, word-granular): every
+    ``_WIN_W``-word window at stride ``_WIN_S`` is hash-routed to ONE
+    shard; a window is a duplicate iff an earlier packed (doc_id, wno)
+    key holds the same window string (global first-occurrence, the
+    repo's standard keep-first rule — catches cross-doc boilerplate AND
+    in-doc self-repetition).  The stride grid is the documented
+    approximation of suffix-array ExactSubstr: a shared run is caught
+    when its offsets in the two docs agree mod ``_WIN_S`` (always true
+    for whole-doc copies, shared prefixes, and stride-aligned
+    boilerplate; ``_WIN_S=1`` degenerates to full W-gram matching at
+    W-gram cost).  Per doc: window count,
+    duplicate-window count, and is_dup = (2 * n_dup >= n_windows) — an
+    integer comparison, no float crosses the hash.  Docs shorter than
+    one window are excluded (matched by the oracle's len filter).
+
+    Scale shape: stateless chunker -> ONE window-hash exchange
+    (size-derived fan-out; groups hold (window string, packed key) rows)
+    -> per-doc count merge on a doc-hash exchange.  Two exchanges total,
+    no driver materialization."""
+    from tiny_lingua_ray.models.train import fnv1a_64_batch
+
+    W, S = _WIN_W, _WIN_S
+    P = _shards_for_table(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def windows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        did, wno, win = [], [], []
+        for i, t in zip(ids, texts):
+            ws = (t or "").split(" ")
+            if len(ws) < W:
+                continue
+            for k, j in enumerate(range(0, len(ws) - W + 1, S)):
+                did.append(i)
+                wno.append(k)
+                win.append(" ".join(ws[j:j + W]))
+        h = fnv1a_64_batch(win)
+        return pa.table(
+            {
+                "shard": pa.array((h % np.uint64(P)).astype(np.int64)),
+                "doc_id": pa.array(did, pa.int64()),
+                "wno": pa.array(wno, pa.int64()),
+                "win": pa.array(win, pa.string()),
+            }
+        )
+
+    empty_flags = pa.table(
+        {
+            "shard2": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "dup": pa.array([], pa.int64()),
+        }
+    )
+
+    def flag_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty_flags
+        wno = df["wno"].to_numpy()
+        assert wno.max() < 100_000, "packed (doc_id, wno) key overflow"
+        key = df["doc_id"].to_numpy() * 100_000 + wno
+        # group by the window STRING (the hash only routes)
+        fk = (
+            pd.Series(key)
+            .groupby(df["win"].to_numpy(), sort=False)
+            .transform("min")
+            .to_numpy()
+        )
+        doc = df["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "shard2": pa.array((doc % P).astype(np.int64)),
+                "doc_id": pa.array(doc, pa.int64()),
+                "dup": pa.array((key > fk).astype(np.int64)),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_windows": pa.array([], pa.int64()),
+            "n_dup": pa.array([], pa.int64()),
+            "is_dup": pa.array([], pa.bool_()),
+        }
+    )
+
+    def count_per_doc(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty_out
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_windows=("dup", "size"), n_dup=("dup", "sum")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "n_windows": pa.array(
+                    g["n_windows"].to_numpy(), pa.int64()
+                ),
+                "n_dup": pa.array(g["n_dup"].to_numpy(), pa.int64()),
+                "is_dup": pa.array(
+                    2 * g["n_dup"].to_numpy() >= g["n_windows"].to_numpy()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(flag_in_shard, batch_format="pandas")
+        .groupby("shard2")
+        .map_groups(count_per_doc, batch_format="pandas")
+    )
+
+
 QUERIES_CORPUS = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "lang_word_top5": q_lang_word_top5,
@@ -812,6 +932,7 @@ QUERIES_CORPUS = {
     "decontaminate": q_decontaminate,
     "approx_quantiles_chars": q_approx_quantiles_chars,
     "incremental_dedup": q_incremental_dedup,
+    "window_dedup": q_window_dedup,
 }
 
 ORACLE_CORPUS = {
@@ -926,6 +1047,29 @@ ORACLE_CORPUS = {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) // 512 AS BIGINT) AS bin_id
         FROM t
+    """,
+    "window_dedup": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        wins AS (
+          SELECT doc_id, i AS wno,
+                 array_to_string(ws[(i*5+1):(i*5+15)], ' ') AS win
+          FROM w, LATERAL (
+            SELECT UNNEST(generate_series(0,
+              CAST(FLOOR((len(ws) - 15) / 5.0) AS INT))) AS i) t
+          WHERE len(ws) >= 15),
+        firsts AS (
+          SELECT win, MIN(doc_id * 100000 + wno) AS fk
+          FROM wins GROUP BY win),
+        agg AS (
+          SELECT wn.doc_id, COUNT(*) AS n_windows,
+                 CAST(SUM(CASE WHEN wn.doc_id * 100000 + wn.wno > f.fk
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+          FROM wins wn JOIN firsts f ON f.win = wn.win
+          GROUP BY wn.doc_id)
+        SELECT doc_id, n_windows, n_dup,
+               2 * n_dup >= n_windows AS is_dup
+        FROM agg
     """,
     # dedup_clusters / dedup_keep_first filled lazily to avoid a
     # circular import at module load
