@@ -52,6 +52,7 @@ BENCH_QUERIES = (
     "bigram_top20",
     "pretraining_prep",
     "winsorize_chars",
+    "window_dedup",
 )
 
 

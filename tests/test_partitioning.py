@@ -150,7 +150,7 @@ def test_queries_survive_empty_input(ray_session, tmp_path):
         "percent_rank_docs", "retention_cohorts", "cube_event_stats",
         "semantic_dedup", "quality_classifier", "search_docs",
         "tokenize_docs", "generic_right_join", "event_transitions",
-        "pmi_top20",
+        "pmi_top20", "window_dedup",
     )
     import pandas as pd
 
