@@ -77,3 +77,59 @@ def test_pair_key_pack_roundtrip(ids):
     pk = (np.uint64(a) << np.uint64(32)) | np.uint64(b)
     assert int(pk >> np.uint64(32)) == a
     assert int(pk & np.uint64(0xFFFFFFFF)) == b
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    st.integers(min_value=0, max_value=6),
+)
+def test_round_half_away_matches_duckdb_round(x, nd):
+    """tableutil.round_half_away must agree with SQL ROUND for every
+    float and digit count — including the .5-boundary values where
+    np.round (half-even) diverges.  This is the cross-engine rounding
+    contract every oracle-paired emit site relies on."""
+    import duckdb
+
+    from tiny_lingua_ray.tableutil import round_half_away
+
+    got = float(round_half_away(x, nd))
+    want = duckdb.sql(
+        f"SELECT ROUND(CAST({x!r} AS DOUBLE), {nd})"
+    ).fetchone()[0]
+    assert got == want or (np.isnan(got) and np.isnan(want)), (x, nd, got, want)
+
+
+def test_round_half_away_boundary_cases():
+    """Pinned .5-boundary values where np.round half-even disagrees."""
+    from tiny_lingua_ray.tableutil import round_half_away
+
+    # 44.7590625 * 1e6 is exactly 44759062.5 in float64: half-even gives
+    # ...62, half-away must give ...63 (the above_avg_events class)
+    assert float(round_half_away(44.7590625, 6)) == 44.759063
+    assert float(np.round(44.7590625, 6)) == 44.759062  # the divergence
+    assert float(round_half_away(-44.7590625, 6)) == -44.759063
+    assert float(round_half_away(2.5, 0)) == 3.0
+    assert float(round_half_away(-2.5, 0)) == -3.0
+    assert float(round_half_away(0.0, 3)) == 0.0
+
+
+def test_shards_for_table_scales_with_size(tmp_path):
+    """shards_for_table: floor at tiny sizes, ceil(bytes/target) at
+    scale, hard cap; identical for file and directory layouts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiny_lingua_ray.stages.partitioning import shards_for_table
+
+    pq.write_table(
+        pa.table({"x": pa.array(range(1000), pa.int64())}),
+        str(tmp_path / "t.parquet"),
+    )
+    assert shards_for_table(str(tmp_path), "t") == 16  # tiny -> floor
+    assert shards_for_table(str(tmp_path), "missing") == 16  # absent -> floor
+    # synthetic large sizes via target_bytes
+    n = (tmp_path / "t.parquet").stat().st_size
+    assert shards_for_table(str(tmp_path), "t", target_bytes=max(1, n // 100)) >= 100
+    assert shards_for_table(str(tmp_path), "t", target_bytes=1, hi=64) == 64
