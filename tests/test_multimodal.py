@@ -27,7 +27,79 @@ def test_real_codec_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 not actually decodable jpeg")
     with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF fake wav")
+        decode_audio(b"\xff\xfb\x90\x44 not actually decodable mp3")
+
+
+def test_bmp_real_format_roundtrip():
+    """A genuine 24-bit BMP (odd width -> nonzero row padding) decodes
+    back to the exact pixels, and feature extraction over BMP payloads
+    matches the RAW-container path bit for bit."""
+    from tiny_lingua_ray.stages.multimodal import ImageFeatures, encode_bmp
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (23, 31, 3), dtype=np.uint8)  # 31*3 % 4 != 0
+    assert (decode_image(encode_bmp(img)) == img).all()
+
+    import pyarrow as pa
+
+    stage = ImageFeatures()
+    out_bmp = stage(
+        pa.table({"media_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([encode_bmp(img)], pa.binary())})
+    ).to_pandas()
+    out_raw = stage(
+        pa.table({"media_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([encode_raw_image(img)], pa.binary())})
+    ).to_pandas()
+    assert out_bmp.equals(out_raw)
+
+
+def test_wav_real_format_roundtrip():
+    """A genuine 16-bit PCM WAV decodes to the quantized samples, and
+    feature extraction over WAV payloads matches the RAW path when the
+    source samples sit on the int16 grid (quantization-exact)."""
+    from tiny_lingua_ray.stages.multimodal import (
+        AudioFeatures,
+        encode_raw_audio,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    # samples already on the int16 grid -> WAV round-trip is exact
+    q = rng.randint(-32768, 32768, 4000).astype(np.float64) / 32768.0
+    samples = q.astype(np.float32)
+    dec, rate = decode_audio(encode_wav(samples, 16000))
+    assert rate == 16000
+    np.testing.assert_allclose(dec, samples, atol=1.0 / 32768.0)
+
+    import pyarrow as pa
+
+    stage = AudioFeatures()
+    out_wav = stage(
+        pa.table({"media_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([encode_wav(samples, 16000)],
+                                      pa.binary())})
+    ).to_pandas()
+    out_raw = stage(
+        pa.table({"media_id": pa.array([1], pa.int64()),
+                  "payload": pa.array(
+                      [encode_raw_audio(dec, 16000)], pa.binary())})
+    ).to_pandas()
+    assert out_wav.equals(out_raw)
+    # stereo + 8-bit widths also decode
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(
+            np.repeat(np.array([100, -100], "<i2"), 2).tobytes()
+        )
+    st, r = decode_audio(buf.getvalue())
+    assert r == 8000 and len(st) == 2  # stereo averaged to mono
 
 
 def test_resize_block_mean_constant():

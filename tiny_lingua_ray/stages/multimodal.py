@@ -5,14 +5,17 @@ pipeline as ``binary`` columns with metadata columns; decode /
 feature-extract / resize / frame-sample are actor-pool ``map_batches``
 stages with small batch sizes (payloads are KB-MB scale).
 
-Codec status: real image (JPEG/PNG via PIL) and audio (via soundfile)
-decoders are NOT available in this container. The stages use an
-import-try: when the libs are absent they decode only the deterministic
-RAW container produced by ``sources.media`` (magic header + dtype+shape +
-raw bytes). Everything after decode — resize (block mean), dHash,
-channel stats, frame sampling, RMS energy — is real vectorized numpy and
-is tested.  Feeding a real JPEG without PIL raises NotImplementedError
-(clearly marked), never silent garbage.
+Codec status: COMPRESSED image (JPEG/PNG via PIL) and audio (via
+soundfile) decoders are NOT available in this container, BUT two real
+uncompressed formats decode with zero external dependencies and are
+first-class here: 24-bit BI_RGB **BMP** (pure-numpy header parse +
+row-padding strip) and PCM **WAV** (stdlib ``wave``).  The stages
+additionally accept the deterministic RAW container produced by
+``sources.media`` (magic header + dtype+shape + raw bytes).  Everything
+after decode — resize (block mean), dHash, channel stats, frame
+sampling, RMS energy — is real vectorized numpy and is tested.  Feeding
+a JPEG without PIL raises NotImplementedError (clearly marked), never
+silent garbage.
 """
 
 from __future__ import annotations
@@ -39,17 +42,67 @@ def encode_raw_image(arr: np.ndarray) -> bytes:
     return RAW_IMG_MAGIC + struct.pack("<III", h, w, c) + arr.tobytes()
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 [H, W, 3] RGB -> real 24-bit BI_RGB BMP bytes (bottom-up
+    rows, BGR order, 4-byte row padding) — a genuine interchange format
+    written without any imaging library."""
+    h, w, _ = arr.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += arr[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    pixel_off = 14 + 40
+    size = pixel_off + len(body)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, pixel_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Real 24-bit uncompressed BMP -> uint8 [H, W, 3] RGB, pure numpy."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    (hdr_size, w, h, _planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP decodes here (got bpp={bpp}, "
+            f"compression={comp}); JPEG/PNG need PIL (absent)"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    data = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=pixel_off
+    ).reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if bottom_up:
+        data = data[::-1]
+    return data[:, :, ::-1].copy()  # BGR -> RGB
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     if payload.startswith(RAW_IMG_MAGIC):
         h, w, c = struct.unpack("<III", payload[8:20])
         return np.frombuffer(payload[20:], dtype=np.uint8).reshape(h, w, c)
+    if payload.startswith(b"BM"):
+        return _decode_bmp(payload)
     if _HAS_PIL:
         import io
 
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     raise NotImplementedError(
-        "real image codecs (PIL) unavailable in this environment; only the "
-        "RAW container (sources.media.encode_raw_image) is decodable"
+        "compressed image codecs (PIL) unavailable in this environment; "
+        "24-bit BMP and the RAW container "
+        "(sources.media.encode_raw_image) are decodable"
     )
 
 
@@ -62,12 +115,57 @@ def encode_raw_audio(samples: np.ndarray, sample_rate: int) -> bytes:
     )
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float [-1, 1] samples -> real 16-bit PCM mono WAV bytes via the
+    stdlib ``wave`` module."""
+    import io
+    import wave
+
+    q = np.clip(
+        np.round(samples.astype(np.float64) * 32767.0), -32768, 32767
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(q.tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real PCM WAV (8/16/32-bit, any channel count; channels averaged
+    to mono) -> (float32 samples in [-1, 1], rate) via stdlib wave."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x.astype(np.float32), rate
+
+
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     if payload.startswith(RAW_AUD_MAGIC):
         rate, n = struct.unpack("<II", payload[8:16])
         return np.frombuffer(payload[16:], dtype=np.float32)[:n], rate
+    if payload.startswith(b"RIFF"):
+        return _decode_wav(payload)
     raise NotImplementedError(
-        "real audio codecs unavailable; only the RAW container is decodable"
+        "compressed audio codecs unavailable; PCM WAV and the RAW "
+        "container are decodable"
     )
 
 
