@@ -121,8 +121,10 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     import io
     import wave
 
+    # 32768 scale, clipped at +32767: exact inverse of the decoder's
+    # /32768 for any sample already on the int16 grid
     q = np.clip(
-        np.round(samples.astype(np.float64) * 32767.0), -32768, 32767
+        np.round(samples.astype(np.float64) * 32768.0), -32768, 32767
     ).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
