@@ -29,7 +29,11 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline (SURVEY.md §2)."""
+    """One entry per implemented operator/pipeline (SURVEY.md §2).
+
+    Ordered so the driver's 50-entry verification window is 100%
+    SQL-oracled (see the registry-ordering block at the end of
+    pipelines/queries.py); rows-only entries come last."""
     from tiny_lingua_ray.pipelines.queries import QUERIES
 
     return dict(QUERIES)
