@@ -127,9 +127,16 @@ def add_salt(ds, key: str, hot_keys: frozenset, n_salt: int):
     hot = hot_keys  # closure copy; frozenset is ray.put-friendly and tiny
 
     def salt_batch(b: pa.Table) -> pa.Table:
-        k = b.column(key).to_pylist()
-        is_hot = np.fromiter((v in hot for v in k), dtype=bool, count=len(k))
-        salt = np.where(is_hot, np.arange(len(k)) % n_salt, 0).astype(np.int64)
+        col = b.column(key)
+        if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+            k = col.to_numpy(zero_copy_only=False)
+            is_hot = np.isin(k, np.asarray(sorted(hot)))
+            n = len(k)
+        else:
+            k = col.to_pylist()
+            n = len(k)
+            is_hot = np.fromiter((v in hot for v in k), dtype=bool, count=n)
+        salt = np.where(is_hot, np.arange(n) % n_salt, 0).astype(np.int64)
         # metadata-free: pandas schema blobs are unhashable in pyarrow 16
         # and defeat Ray's shuffle schema dedup (see tableutil.from_df)
         return b.append_column(
