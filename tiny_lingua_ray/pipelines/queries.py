@@ -2933,6 +2933,119 @@ def q_search_docs(sf_dir: str):
     ).head(K)
 
 
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_search_bm25(sf_dir: str):
+    """BM25 ranked keyword search (Robertson/Spärck Jones; the Okapi
+    scoring standard) — the length-normalized upgrade of q_search_docs,
+    same two-linear-scan zero-shuffle shape: (1) per-block (term, df)
+    partials PLUS (n_docs, sum_dl) for the average document length ->
+    O(terms) driver idf table broadcast once; (2) scoring scan with
+    per-block partial top-k -> <= blocks x K driver merge.  idf uses
+    the robust +1 variant ln((N - df + .5)/(df + .5) + 1) (always
+    positive); k1/b are the textbook 1.2/0.75."""
+    import ray
+
+    terms = list(_SEARCH_TERMS)
+    K = 20
+    k1, b = _BM25_K1, _BM25_B
+
+    def stats_partial(bt: pa.Table) -> pa.Table:
+        texts = bt.column("text").to_pylist()
+        counts = {t: 0 for t in terms}
+        sum_dl = 0
+        for txt in texts:
+            lst = (txt or "").split(" ")
+            sum_dl += len(lst)
+            ws = set(lst)
+            for t in terms:
+                if t in ws:
+                    counts[t] += 1
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array([counts[t] for t in terms], pa.int64()),
+                "n": pa.array([len(texts)] * len(terms), pa.int64()),
+                "sum_dl": pa.array([sum_dl] * len(terms), pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()  # O(terms x blocks)
+    )
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "score": pd.Series([], dtype="float64")}
+    )
+    if len(parts) == 0:
+        return empty
+    per_term = parts.groupby("term").agg(
+        df=("df", "sum"), n=("n", "sum"), sum_dl=("sum_dl", "sum")
+    )
+    N = int(per_term["n"].iloc[0])
+    if N == 0:
+        return empty
+    avgdl = float(per_term["sum_dl"].iloc[0]) / N
+    idf = {
+        t: float(np.log((N - int(per_term["df"][t]) + 0.5)
+                        / (int(per_term["df"][t]) + 0.5) + 1.0))
+        for t in terms
+        if int(per_term["df"][t]) > 0
+    }
+    state_ref = ray.put({"idf": idf, "avgdl": avgdl})
+
+    def score_partial(bt: pa.Table, *, state_ref) -> pa.Table:
+        from tiny_lingua_ray.tableutil import deref
+
+        st = deref(state_ref)
+        w, avg = st["idf"], st["avgdl"]
+        ids = bt.column("doc_id").to_pylist()
+        texts = bt.column("text").to_pylist()
+        out_id, out_s = [], []
+        for i, txt in zip(ids, texts):
+            lst = (txt or "").split(" ")
+            dl = len(lst)
+            s = 0.0
+            matched = False
+            for t in terms:
+                if t in w:
+                    c = lst.count(t)
+                    if c:
+                        matched = True
+                        s += (
+                            w[t] * c * (k1 + 1.0)
+                            / (c + k1 * (1.0 - b + b * dl / avg))
+                        )
+            if matched:
+                out_id.append(i)
+                out_s.append(s)
+        d = pd.DataFrame({"doc_id": out_id, "score": _rha(out_s, 6)})
+        d = d.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(K)
+        return pa.table(
+            {
+                "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+                "score": pa.array(d["score"].to_numpy(), pa.float64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            score_partial, fn_kwargs={"state_ref": state_ref},
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # <= blocks x K rows
+    )
+    return out.sort_values(
+        ["score", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(K)
+
+
 def q_video_near_dup(sf_dir: str):
     """Perceptual VIDEO dedup completing the media trio: mid-frame
     dHash (VideoFeatures actor pool, frame-sampled) -> Hamming<=3 pairs
@@ -3251,6 +3364,7 @@ QUERIES = {
     "tokenize_docs": q_tokenize_docs,
     "generic_right_join": q_generic_right_join,
     "search_docs": q_search_docs,
+    "search_bm25": q_search_bm25,
     "video_near_dup": q_video_near_dup,
     "pmi_top20": q_pmi_top20,
     "fingerprint": q_fingerprint,
@@ -3752,6 +3866,30 @@ ORACLE["search_docs"] = """
            ROUND(SUM(tf.c * LN((SELECT COUNT(*) FROM documents) * 1.0
                                / df.d)), 6) AS score
     FROM tf JOIN df ON df.w = tf.w
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 20
+"""
+ORACLE["search_bm25"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+    s AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w IN ('table', 'spark', 'query')
+      GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS dfreq FROM tf GROUP BY w)
+    SELECT tf.doc_id,
+           ROUND(SUM(
+             LN(((SELECT n FROM s) - df.dfreq + 0.5) / (df.dfreq + 0.5)
+                + 1.0)
+             * tf.c * 2.2
+             / (tf.c + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                              / (SELECT avgdl FROM s)))
+           ), 6) AS score
+    FROM tf JOIN df ON df.w = tf.w JOIN dl ON dl.doc_id = tf.doc_id
     GROUP BY tf.doc_id
     ORDER BY score DESC, tf.doc_id
     LIMIT 20
