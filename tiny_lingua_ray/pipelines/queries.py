@@ -2933,6 +2933,52 @@ def q_search_docs(sf_dir: str):
     ).head(K)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weighted sample WITHOUT replacement (Efraimidis & Spirakis 2006,
+    "Weighted random sampling with a reservoir": take the K rows
+    maximizing u^(1/w), equivalently ln(u)/w): u is a DETERMINISTIC
+    per-row uniform from the md5 of the id (the repo's replayable-
+    randomness convention, cap_per_source / lang_balanced_sample), w is
+    the row weight (n_chars, floored at 1).  Determinism makes the
+    sample rerun-stable AND SQL-oracle-verifiable — a seeded RNG would
+    be neither.  One scan, per-block partial top-K on the sample key,
+    <= blocks x K driver merge, zero shuffles at any corpus size."""
+    from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
+
+    K = 20
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        w = np.maximum(
+            b.column("n_chars").to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        m = _md5_lower64_batch([str(int(i)) for i in ids])
+        u = ((m % np.uint64(1_000_000)).astype(np.float64) + 0.5) / 1_000_000.0
+        skey = _rha(np.log(u) / w, 6)
+        d = pd.DataFrame(
+            {"doc_id": ids.astype(np.int64),
+             "n_chars": b.column("n_chars").to_numpy(zero_copy_only=False)
+             .astype(np.int64),
+             "skey": skey}
+        ).sort_values(["skey", "doc_id"], ascending=[False, True]).head(K)
+        return pa.table(
+            {
+                "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+                "n_chars": pa.array(d["n_chars"].to_numpy(), pa.int64()),
+                "skey": pa.array(d["skey"].to_numpy(), pa.float64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # <= blocks x K rows
+    )
+    return out.sort_values(
+        ["skey", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(K)
+
+
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
@@ -3365,6 +3411,7 @@ QUERIES = {
     "generic_right_join": q_generic_right_join,
     "search_docs": q_search_docs,
     "search_bm25": q_search_bm25,
+    "weighted_sample": q_weighted_sample,
     "video_near_dup": q_video_near_dup,
     "pmi_top20": q_pmi_top20,
     "fingerprint": q_fingerprint,
@@ -3868,6 +3915,15 @@ ORACLE["search_docs"] = """
     FROM tf JOIN df ON df.w = tf.w
     GROUP BY tf.doc_id
     ORDER BY score DESC, tf.doc_id
+    LIMIT 20
+"""
+ORACLE["weighted_sample"] = """
+    SELECT doc_id, n_chars,
+           ROUND(LN((md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000
+                     + 0.5) / 1000000.0)
+                 / GREATEST(n_chars, 1), 6) AS skey
+    FROM documents
+    ORDER BY skey DESC, doc_id
     LIMIT 20
 """
 ORACLE["search_bm25"] = """
