@@ -39,7 +39,8 @@ def ddb():
      "conversion_funnel", "pretraining_prep", "winsorize_chars",
      "mode_event_type", "above_avg_events", "event_transitions",
      "tokenize_docs", "generic_right_join", "search_docs",
-     "pmi_top20", "window_dedup", "search_bm25", "weighted_sample"],
+     "pmi_top20", "window_dedup", "search_bm25", "weighted_sample",
+     "inverted_index"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES

@@ -2933,6 +2933,74 @@ def q_search_docs(sf_dir: str):
     ).head(K)
 
 
+def q_inverted_index(sf_dir: str):
+    """Distributed INVERTED-INDEX build (the retrieval-side primitive
+    next to build_vocab): per word, document frequency and a capped,
+    doc_id-ordered posting list.  Shape: per-batch DISTINCT (word,
+    doc_id) partials -> ONE word-hash exchange (a word's full posting
+    set lives in one shard, so df and the first-50 cut are exact) ->
+    per-shard pandas merge.  Postings are emitted as a ','-joined
+    string so the column hashes identically in both engines; the 50-doc
+    cap bounds the output row size at any corpus scale (cap binding is
+    visible through df > 50)."""
+    from tiny_lingua_ray.models.train import fnv1a_64_batch
+
+    CAP = 50
+    P = _shards_for_table(sf_dir, "documents")
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        seen = set()
+        for i, t in zip(ids, texts):
+            for w in (t or "").split(" "):
+                if w:
+                    seen.add((w, i))
+        words = [w for w, _ in seen]
+        h = fnv1a_64_batch(words)
+        return pa.table(
+            {
+                "shard": pa.array((h % np.uint64(P)).astype(np.int64)),
+                "word": pa.array(words, pa.string()),
+                "doc_id": pa.array([d for _, d in seen], pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "word": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "postings": pa.array([], pa.string()),
+        }
+    )
+
+    def build_in_shard(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        d = df.drop_duplicates(["word", "doc_id"]).sort_values(
+            ["word", "doc_id"], kind="stable"
+        )
+        g = d.groupby("word", sort=False)["doc_id"]
+        out = g.agg(
+            df="size",
+            postings=lambda s: ",".join(str(int(x)) for x in s.iloc[:CAP]),
+        ).reset_index()
+        return pa.table(
+            {
+                "word": pa.array(out["word"], pa.string()),
+                "df": pa.array(out["df"].to_numpy(), pa.int64()),
+                "postings": pa.array(out["postings"], pa.string()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(build_in_shard, batch_format="pandas")
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Weighted sample WITHOUT replacement (Efraimidis & Spirakis 2006,
     "Weighted random sampling with a reservoir": take the K rows
@@ -3412,6 +3480,7 @@ QUERIES = {
     "search_docs": q_search_docs,
     "search_bm25": q_search_bm25,
     "weighted_sample": q_weighted_sample,
+    "inverted_index": q_inverted_index,
     "video_near_dup": q_video_near_dup,
     "pmi_top20": q_pmi_top20,
     "fingerprint": q_fingerprint,
@@ -3916,6 +3985,21 @@ ORACLE["search_docs"] = """
     GROUP BY tf.doc_id
     ORDER BY score DESC, tf.doc_id
     LIMIT 20
+"""
+ORACLE["inverted_index"] = """
+    WITH p AS (
+      SELECT DISTINCT w AS word, doc_id
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    r AS (
+      SELECT word, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+      FROM p)
+    SELECT word, COUNT(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             FILTER (rn <= 50) AS postings
+    FROM r GROUP BY word
 """
 ORACLE["weighted_sample"] = """
     SELECT doc_id, n_chars,
