@@ -40,7 +40,7 @@ def ddb():
      "mode_event_type", "above_avg_events", "event_transitions",
      "tokenize_docs", "generic_right_join", "search_docs",
      "pmi_top20", "window_dedup", "search_bm25", "weighted_sample",
-     "inverted_index"],
+     "inverted_index", "chunk_overlap"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES

@@ -2933,6 +2933,46 @@ def q_search_docs(sf_dir: str):
     ).head(K)
 
 
+def q_chunk_overlap(sf_dir: str):
+    """RAG-style document chunking: fixed 30-word chunks with a 10-word
+    overlap (stride 20), emitted as one row per chunk with a stable
+    (doc_id, chunk_no) identity — the retrieval-corpus preparation
+    primitive beside pack_sequences (training-side packing).  Purely
+    stateless flat expansion: one map_batches, zero exchanges, streams
+    at any corpus size; the final (possibly short) tail chunk is kept
+    so no text is dropped."""
+    W, S = 30, 20
+
+    def chunks(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        did, cno, ctext, nw = [], [], [], []
+        for i, t in zip(ids, texts):
+            ws = (t or "").split(" ")
+            k = 0
+            for j in range(0, len(ws), S):
+                part = ws[j:j + W]
+                did.append(i)
+                cno.append(k)
+                ctext.append(" ".join(part))
+                nw.append(len(part))
+                k += 1
+                if j + W >= len(ws):
+                    break  # tail covered; don't emit pure-overlap chunks
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "chunk_no": pa.array(cno, pa.int64()),
+                "chunk_text": pa.array(ctext, pa.string()),
+                "n_words": pa.array(nw, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
 def q_inverted_index(sf_dir: str):
     """Distributed INVERTED-INDEX build (the retrieval-side primitive
     next to build_vocab): per word, document frequency and a capped,
@@ -3481,6 +3521,7 @@ QUERIES = {
     "search_bm25": q_search_bm25,
     "weighted_sample": q_weighted_sample,
     "inverted_index": q_inverted_index,
+    "chunk_overlap": q_chunk_overlap,
     "video_near_dup": q_video_near_dup,
     "pmi_top20": q_pmi_top20,
     "fingerprint": q_fingerprint,
@@ -3985,6 +4026,15 @@ ORACLE["search_docs"] = """
     GROUP BY tf.doc_id
     ORDER BY score DESC, tf.doc_id
     LIMIT 20
+"""
+ORACLE["chunk_overlap"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id, i AS chunk_no,
+           array_to_string(ws[(i*20+1):(i*20+30)], ' ') AS chunk_text,
+           LEAST(30, len(ws) - i*20) AS n_words
+    FROM w, LATERAL (
+      SELECT UNNEST(generate_series(0,
+        GREATEST(0, CAST(CEIL((len(ws) - 30) / 20.0) AS INT)))) AS i) t
 """
 ORACLE["inverted_index"] = """
     WITH p AS (
