@@ -91,7 +91,7 @@ def q_order_lineitem_band_join(sf_dir: str):
     with cluster size (keys are uniform, no salt needed — a skewed key
     would get the MAX_BUCKET-style cap treatment from stages/dedup.py).
     """
-    P = 32
+    P = _shards_for_table(sf_dir, "lineitem", lo=32, pow2=True)
 
     def prep_orders(b: pa.Table) -> pa.Table:
         key = b.column("o_orderkey")
@@ -164,7 +164,7 @@ def q_asof_event_order(sf_dir: str):
     pandas ``merge_asof`` (sorted C merge) once per shard.  One
     exchange; per-shard memory is events+orders of 1/P of the users.
     """
-    P = _shards_for_table(sf_dir, "events")
+    P = _shards_for_table(sf_dir, "events", pow2=True)
 
     def prep_events(b: pa.Table) -> pa.Table:
         uid = b.column("user_id")
@@ -728,7 +728,7 @@ def q_anti_join_inactive_customers(sf_dir: str):
     ``custkey % P``, and each shard drops customers whose key appears on
     the order side with one pandas-C isin.  Only (segment, n) partials
     leave the shards."""
-    P = 32
+    P = _shards_for_table(sf_dir, "orders", lo=32, pow2=True)
     _PRICE = 400_000.0
 
     def prep_cust(b: pa.Table) -> pa.Table:
@@ -807,7 +807,7 @@ def q_event_gaps(sf_dir: str):
     of its users), each shard does one pandas-C sort + per-user diff, and
     only (user, n, sum, max) rows leave.  All-integer microsecond output —
     no float accumulation, so the oracle compare is exact at any scale."""
-    P = _shards_for_table(sf_dir, "events")
+    P = _shards_for_table(sf_dir, "events", pow2=True)
 
     def prep(b: pa.Table) -> pa.Table:
         uid = pc.cast(b.column("user_id"), pa.int64())
@@ -976,7 +976,7 @@ def q_left_join_customer_orders(sf_dir: str):
     rows), one tagged-union groupby(custkey % P), per-shard pandas-C
     left merge with fillna.  The price predicate keeps the unmatched
     side non-empty on the synthetic tables."""
-    P = 32
+    P = _shards_for_table(sf_dir, "orders", lo=32, pow2=True)
     _PRICE = 400_000.0
 
     def prep_cust(b: pa.Table) -> pa.Table:
@@ -1129,7 +1129,7 @@ def q_full_outer_user_days(sf_dir: str):
     (user, day, side, n) partials (no second scan of the table); ONE
     cogroup exchange on ``user % P``; per-shard pandas outer merge with
     fillna."""
-    P = 32
+    P = _shards_for_table(sf_dir, "events", lo=32, pow2=True)
 
     def prep(b: pa.Table) -> pa.Table:
         m = pc.is_in(

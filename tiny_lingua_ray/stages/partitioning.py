@@ -61,13 +61,16 @@ def shards_for(ds, target_bytes: int = 64 << 20, lo: int = 16,
 
 def shards_for_table(sf_dir: str, table: str,
                      target_bytes: int = 16 << 20, lo: int = 16,
-                     hi: int = 1 << 20) -> int:
+                     hi: int = 1 << 20, pow2: bool = False) -> int:
     """``shards_for`` from the parquet ON-DISK size — no Dataset needed,
     so it drops into any query as a one-line replacement for a fixed
     shard constant.  The per-shard target is 16 MB on disk (~64 MB
     in-memory at typical 2-5x parquet compression, matching
     ``shards_for``'s in-memory target).  For multi-table queries pass
-    the LARGER table."""
+    the LARGER table.  ``pow2`` rounds UP to the next power of two for
+    callers that shard with a ``bit_wise_and(key, P - 1)`` mask — a
+    non-power-of-two mask would silently collapse most mask bits and
+    concentrate the exchange on a handful of shards."""
     import os
 
     path = f"{sf_dir}/{table}.parquet"
@@ -78,7 +81,8 @@ def shards_for_table(sf_dir: str, table: str,
         nbytes = sum(
             e.stat().st_size for e in os.scandir(path) if e.is_file()
         )
-    return int(max(lo, min(hi, -(-nbytes // target_bytes))))
+    n = int(max(lo, min(hi, -(-nbytes // target_bytes))))
+    return 1 << (n - 1).bit_length() if pow2 else n
 
 
 def key_shares(ds, key: str) -> pd.DataFrame:
