@@ -206,7 +206,7 @@ def q_dedup_keep_first(sf_dir: str):
     from tiny_lingua_ray.pipelines.queries import jaccard_pairs_dataset
     from tiny_lingua_ray.stages.cluster import connected_components
 
-    P = 32
+    P = _shards_for_table(sf_dir, "documents", lo=32)
     labels = connected_components(jaccard_pairs_dataset(sf_dir))
 
     def prep_victims(b: pa.Table) -> pa.Table:

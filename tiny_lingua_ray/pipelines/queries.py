@@ -541,7 +541,7 @@ def q_corpus_prep(sf_dir: str):
     from tiny_lingua_ray.stages.quality import quality_batch
     from tiny_lingua_ray.stages.textstats import token_count_batch
 
-    P = 32
+    P = _shards_for_table(sf_dir, "documents", lo=32)
 
     def prep(batch: pa.Table) -> pa.Table:
         q = quality_batch(batch)
@@ -1836,7 +1836,7 @@ def q_cap_per_source(sf_dir: str):
     from tiny_lingua_ray.models.train import fnv1a_64_batch
     from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
 
-    N, P = 10, 16
+    N, P = 10, _shards_for_table(sf_dir, "documents")
 
     def prep(b: pa.Table) -> pa.Table:
         src = b.column("source").to_pylist()
@@ -2344,7 +2344,7 @@ def q_pretraining_prep(sf_dir: str):
     from tiny_lingua_ray.models.train import fnv1a_64_batch
     from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
 
-    N, P = 10, 16
+    N, P = 10, _shards_for_table(sf_dir, "documents")
 
     deduped = _paragraph_dedup_ds(
         _read(sf_dir, "documents", columns=["doc_id", "text", "source"]),
@@ -2802,7 +2802,8 @@ def q_generic_right_join(sf_dir: str):
     # schema knowledge on empty inputs); output key keeps the left name
     out = hash_join(
         orders, cust, left_on="o_custkey", right_on="c_custkey",
-        how="right", broadcast_threshold=0, num_shards=16,
+        how="right", broadcast_threshold=0,
+        num_shards=_shards_for_table(sf_dir, "orders"),
     )
 
     def final(b: pa.Table) -> pa.Table:
