@@ -160,7 +160,9 @@ def q_dedup_clusters(sf_dir: str):
     from tiny_lingua_ray.stages.cluster import connected_components
 
     pairs = jaccard_pairs_dataset(sf_dir)
-    labels = connected_components(pairs)
+    labels = connected_components(
+        pairs, num_shards=_shards_for_table(sf_dir, "documents")
+    )
 
     # cluster sizes: label-sharded pandas-C size (cluster count can be
     # huge at scale — never one Ray group per cluster)
@@ -207,7 +209,9 @@ def q_dedup_keep_first(sf_dir: str):
     from tiny_lingua_ray.stages.cluster import connected_components
 
     P = _shards_for_table(sf_dir, "documents", lo=32)
-    labels = connected_components(jaccard_pairs_dataset(sf_dir))
+    labels = connected_components(
+        jaccard_pairs_dataset(sf_dir), num_shards=P
+    )
 
     def prep_victims(b: pa.Table) -> pa.Table:
         node = b.column("node").to_numpy(zero_copy_only=False)
