@@ -56,14 +56,22 @@ def test_fnv_batch_matches_scalar(strs):
 )
 def test_afp64_amplitude_invariant(samples, k):
     """Fingerprint bits depend only on RELATIVE segment energies.  The
-    bit-exact guarantee is for power-of-two scaling (exact in IEEE754);
-    arbitrary scaling is only NEAR-invariant — float rounding can flip
-    a bit whose segment energies tie to the last ulp (hypothesis found
-    such a counterexample), which is why audio_near_dup pairs at
-    Hamming<=3 rather than 0."""
+    bit-exact guarantee is for power-of-two scaling (exact in IEEE754)
+    of samples whose SQUARES stay in the normal float range — squaring
+    into the subnormals rounds on a coarser grid and breaks exactness
+    (hypothesis found |x| ~ 2.7e-162, whose square is one subnormal
+    step).  Arbitrary scaling is only NEAR-invariant anyway — float
+    rounding can flip a bit whose segment energies tie to the last ulp
+    — which is why audio_near_dup pairs at Hamming<=3 rather than 0."""
+    from hypothesis import assume
+
     from tiny_lingua_ray.stages.multimodal import afp64
 
     x = np.asarray(samples, dtype=np.float64)
+    nz = np.abs(x[x != 0.0])
+    tiny = np.finfo(np.float64).tiny  # smallest NORMAL double
+    # worst-case scale 2^-8 per sample -> 2^-16 on the energy
+    assume(nz.size == 0 or (nz.min() * 2.0 ** -8) ** 2 >= tiny)
     assert afp64(x) == afp64(x * 2.0 ** k)
 
 

@@ -694,6 +694,7 @@ def q_incremental_dedup(sf_dir: str):
                     columns=["doc_id", "text"],
                 ),
                 state,
+                num_shards=_shards_for_table(sf_dir, "documents"),
             )
             .to_pandas()
             .sort_values("doc_id", ignore_index=True)
