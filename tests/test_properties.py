@@ -63,15 +63,13 @@ def test_afp64_amplitude_invariant(samples, k):
     step).  Arbitrary scaling is only NEAR-invariant anyway — float
     rounding can flip a bit whose segment energies tie to the last ulp
     — which is why audio_near_dup pairs at Hamming<=3 rather than 0."""
-    from hypothesis import assume
-
     from tiny_lingua_ray.stages.multimodal import afp64
 
     x = np.asarray(samples, dtype=np.float64)
-    nz = np.abs(x[x != 0.0])
-    tiny = np.finfo(np.float64).tiny  # smallest NORMAL double
-    # worst-case scale 2^-8 per sample -> 2^-16 on the energy
-    assume(nz.size == 0 or (nz.min() * 2.0 ** -8) ** 2 >= tiny)
+    # flush magnitudes whose squares would leave the normal range
+    # (transform, not assume: hypothesis floats are dense near zero and
+    # filtering them trips the filter_too_much health check)
+    x[np.abs(x) < 1e-100] = 0.0
     assert afp64(x) == afp64(x * 2.0 ** k)
 
 
