@@ -40,7 +40,8 @@ def ddb():
      "mode_event_type", "above_avg_events", "event_transitions",
      "tokenize_docs", "generic_right_join", "search_docs",
      "pmi_top20", "window_dedup", "search_bm25", "weighted_sample",
-     "inverted_index", "chunk_overlap"],
+     "inverted_index", "chunk_overlap", "dsir_weights",
+     "decontaminate_ngram"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES
@@ -323,3 +324,78 @@ def test_window_dedup_planted_copies(ray_session, tmp_path):
     assert out.loc[1, "n_dup"] == out.loc[1, "n_windows"]
     assert 0 < out.loc[2, "n_dup"] < out.loc[2, "n_windows"]  # half copy
     assert not out.loc[3, "is_dup"] and out.loc[3, "n_dup"] == 0
+
+
+def test_dsir_weights_prefer_target_language(ray_session, ddb):
+    """DSIR's defining property: documents drawn from the TARGET
+    distribution (lang='en' here) must score higher on average than the
+    rest of the corpus — the importance weight is exactly the log-ratio
+    of target vs raw feature likelihoods.  Also pins the feature count
+    (unigrams + bigrams = 2*words - 1)."""
+    from tiny_lingua_ray.pipelines.corpus_ext import q_dsir_weights
+
+    out = q_dsir_weights(SF_DIR).to_pandas()
+    langs = ddb.sql("SELECT doc_id, lang, text FROM documents").df()
+    m = out.merge(langs, on="doc_id")
+    en = m[m["lang"] == "en"]["weight_micro"].mean()
+    rest = m[m["lang"] != "en"]["weight_micro"].mean()
+    assert en > rest, (en, rest)
+
+    words = [
+        len([w for w in (t or "").lower().split(" ") if w])
+        for t in m.sort_values("doc_id")["text"]
+    ]
+    got = m.sort_values("doc_id")["n_grams"].to_numpy()
+    want = np.array([2 * w - 1 for w in words])  # m only has emitted docs
+    assert (got == want).all()
+
+
+def test_decontaminate_ngram_planted(ray_session, tmp_path):
+    """Planted-contamination check: a doc sharing one verbatim 8-gram
+    with a probe doc (doc_id < 5) is flagged with exactly the expected
+    hit count; fresh text is not; short docs have zero grams."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiny_lingua_ray.pipelines.corpus_ext import q_decontaminate_ngram
+
+    rng = np.random.RandomState(7)
+
+    def words(n):
+        return [
+            "".join(chr(97 + c) for c in rng.randint(0, 26, 6))
+            for _ in range(n)
+        ]
+
+    probe = words(20)
+    fresh = words(20)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5, 6, 7],
+            "text": [
+                " ".join(probe),
+                " ".join(words(12)),
+                " ".join(words(12)),
+                " ".join(words(12)),
+                " ".join(words(12)),
+                # shares exactly one 8-gram window (probe words 0..7)
+                " ".join(probe[:8] + fresh[:12]),
+                " ".join(fresh),          # clean
+                " ".join(words(4)),       # < 8 words: no grams
+            ],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet")
+    )
+
+    out = (
+        q_decontaminate_ngram(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "contaminated"]          # probe doc matches itself
+    assert out.loc[5, "contaminated"] and out.loc[5, "n_hits"] == 1
+    assert not out.loc[6, "contaminated"] and out.loc[6, "n_hits"] == 0
+    assert out.loc[7, "n_grams"] == 0 and not out.loc[7, "contaminated"]

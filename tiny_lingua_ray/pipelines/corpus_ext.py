@@ -922,6 +922,224 @@ def q_window_dedup(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096  # hashed feature buckets (DSIR uses 10k; 4096 keeps the
+# broadcast table one 32 KiB int64 array and the oracle CTE small)
+_DSIR_TARGET_LANG = "en"
+
+
+def _dsir_doc_grams(texts: list) -> list[list[str]]:
+    """Per-doc word unigram + bigram feature list — lowercased,
+    single-space split, empty tokens dropped, duplicates KEPT (DSIR
+    featurizes occurrence counts).  Identical to the oracle's
+    ``string_split(lower(text), ' ')`` + ``list_transform`` CTE."""
+    out = []
+    for t in texts:
+        ws = [w for w in (t or "").lower().split(" ") if w]
+        out.append(ws + [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)])
+    return out
+
+
+def _gram_segments(grams: list[list[str]]):
+    """Flatten per-doc gram lists -> (flat list, per-doc offsets)."""
+    lens = np.array([len(g) for g in grams], dtype=np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return [g for gs in grams for g in gs], lens, offs
+
+
+def _segment_sums(per_gram: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Exact int64 per-segment sums (cumsum-difference: safe for empty
+    segments, unlike ``np.add.reduceat``)."""
+    cs = np.zeros(len(per_gram) + 1, dtype=np.int64)
+    np.cumsum(per_gram, out=cs[1:])
+    return cs[offs[1:]] - cs[offs[:-1]]
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much more likely its
+    hashed n-gram features are under a TARGET distribution than under
+    the raw-corpus distribution.  Target here is the ``lang = 'en'``
+    slice (a real run plugs in the downstream-task sample); features
+    are word unigrams+bigrams hashed into 4096 buckets with the md5
+    scheme so the ENTIRE method — featurization, both distributions,
+    the per-bucket log-ratios and the per-doc sums — replays in the
+    DuckDB oracle.  Log-ratios are quantized to integer micro-nats
+    (round-half-away(1e6 * ln)) so per-doc sums are order-free exact
+    int64 arithmetic: no float-summation hash risk.
+
+    Scale shape: pass 1 is a map emitting sparse (bucket, cq, cp)
+    partial bincounts -> groupby(bucket).sum() -> <=4096 rows on the
+    driver; pass 2 broadcasts the 32 KiB int64 log-ratio table once
+    (ray.put) and scores each batch with unique-gram md5 hashing +
+    vectorized gathers.  The corpus never shuffles; network cost is
+    O(blocks * nonzero-buckets) + one broadcast.  md5 is the
+    oracle-verifiability trade (stages/dedup.py:20) — production would
+    pass fnv via the same batch hasher."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
+
+    B = _DSIR_B
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def count_batch(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        langs = b.column("lang").to_pylist()
+        grams = _dsir_doc_grams(texts)
+        cq = np.zeros(B, dtype=np.int64)
+        cp = np.zeros(B, dtype=np.int64)
+        for sel, acc in (
+            (None, cq),
+            (_DSIR_TARGET_LANG, cp),
+        ):
+            pool = [
+                g
+                for gs, lang in zip(grams, langs)
+                if sel is None or lang == sel
+                for g in gs
+            ]
+            if not pool:
+                continue
+            uniq, counts = np.unique(
+                np.asarray(pool, dtype=object), return_counts=True
+            )
+            bk = (
+                _md5_lower64_batch(list(uniq)) % np.uint64(B)
+            ).astype(np.int64)
+            np.add.at(acc, bk, counts)
+        nz = np.flatnonzero(cq)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64)),
+                "cq": pa.array(cq[nz]),
+                "cp": pa.array(cp[nz]),
+            }
+        )
+
+    cnt = (
+        docs.map_batches(count_batch, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("cq", alias_name="cq"), Sum("cp", alias_name="cp"))
+        .to_pandas()  # <= 4096 rows by construction
+    )
+    cq = np.zeros(B, dtype=np.int64)
+    cp = np.zeros(B, dtype=np.int64)
+    cq[cnt["bucket"].to_numpy()] = cnt["cq"].to_numpy()
+    cp[cnt["bucket"].to_numpy()] = cnt["cp"].to_numpy()
+    tq, tp = int(cq.sum()), int(cp.sum())
+    # add-1 smoothing; EXACT float expression of the SQL oracle
+    ratio = ((cp + 1.0) * (tq + float(B))) / ((cq + 1.0) * (tp + float(B)))
+    lw = _rha(1_000_000 * np.log(ratio), 0).astype(np.int64)
+    lw[cq == 0] = 0  # unseen buckets are never gathered; keep table clean
+    lw_ref = ray.put(lw)
+
+    def score(b: pa.Table) -> pa.Table:
+        lwarr = ray.get(lw_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        grams = _dsir_doc_grams(b.column("text").to_pylist())
+        flat, lens, offs = _gram_segments(grams)
+        if flat:
+            uniq, inv = np.unique(
+                np.asarray(flat, dtype=object), return_inverse=True
+            )
+            bk = (
+                _md5_lower64_batch(list(uniq)) % np.uint64(B)
+            ).astype(np.int64)
+            per_gram = lwarr[bk][inv]
+            w = _segment_sums(per_gram, offs)
+        else:
+            w = np.zeros(len(ids), dtype=np.int64)
+        keep = lens > 0  # oracle groups by doc over grams: 0-gram docs absent
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "n_grams": pa.array(lens[keep]),
+                "weight_micro": pa.array(w[keep]),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# n-gram-hash decontamination (GPT-3 / PaLM style)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # PaLM used 8-gram overlap; GPT-3 13-gram
+
+
+def _word_ngrams(text, n: int = _DECON_N) -> list[str]:
+    ws = [w for w in (text or "").lower().split(" ") if w]
+    if len(ws) < n:
+        return []
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def q_decontaminate_ngram(sf_dir: str):
+    """Eval-set decontamination by overlapping word-8-gram HASH overlap
+    (the GPT-3/PaLM recipe, vs q_decontaminate's substring probes): a
+    training doc is contaminated if ANY of its 8-grams appears in the
+    eval set's 8-gram set.  Probes are the doc_id < 5 documents (same
+    deterministic convention as q_decontaminate) so the DuckDB oracle
+    replays everything, hashes included (md5 scheme).
+
+    Scale shape: the probe gram-hash set is built from the tiny probe
+    slice on the driver, sorted, and broadcast ONCE (ray.put);  each
+    batch hashes its unique grams, membership is a vectorized
+    searchsorted — integer-exact, no shuffle, text read once.  At real
+    scale the probe set is the benchmark suite (~1e6 grams = 8 MB),
+    still broadcast-sized."""
+    import pyarrow.compute as pc
+    import ray
+
+    from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    probe_rows = docs.map_batches(
+        lambda b: b.filter(pc.less(b.column("doc_id"), _N_PROBES)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    pg = [g for t in probe_rows["text"] for g in _word_ngrams(t)]
+    probe = (
+        np.sort(np.unique(_md5_lower64_batch(pg)))
+        if pg
+        else np.array([], dtype=np.uint64)
+    )
+    p_ref = ray.put(probe)
+
+    def scan(b: pa.Table) -> pa.Table:
+        pr = ray.get(p_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        grams = [_word_ngrams(t) for t in b.column("text").to_pylist()]
+        flat, lens, offs = _gram_segments(grams)
+        if flat and pr.size:
+            uniq, inv = np.unique(
+                np.asarray(flat, dtype=object), return_inverse=True
+            )
+            h = _md5_lower64_batch(list(uniq))
+            idx = np.minimum(np.searchsorted(pr, h), pr.size - 1)
+            hit = (pr[idx] == h).astype(np.int64)
+            n_hits = _segment_sums(hit[inv], offs)
+        else:
+            n_hits = np.zeros(len(ids), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_grams": pa.array(lens),
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow")
+
+
 QUERIES_CORPUS = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "lang_word_top5": q_lang_word_top5,
@@ -938,6 +1156,8 @@ QUERIES_CORPUS = {
     "approx_quantiles_chars": q_approx_quantiles_chars,
     "incremental_dedup": q_incremental_dedup,
     "window_dedup": q_window_dedup,
+    "dsir_weights": q_dsir_weights,
+    "decontaminate_ngram": q_decontaminate_ngram,
 }
 
 ORACLE_CORPUS = {
@@ -1075,6 +1295,63 @@ ORACLE_CORPUS = {
         SELECT doc_id, n_windows, n_dup,
                2 * n_dup >= n_windows AS is_dup
         FROM agg
+    """,
+    "dsir_weights": """
+        WITH w AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                             x -> x <> '') AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id, lang, unnest(ws) AS gram FROM w
+          UNION ALL
+          SELECT doc_id, lang, unnest(CASE WHEN len(ws) >= 2 THEN
+              list_transform(range(1, len(ws)),
+                             i -> ws[i] || ' ' || ws[i + 1])
+              ELSE [] END) AS gram FROM w),
+        b AS (SELECT doc_id, lang,
+                     CAST(md5_number_lower(gram) % 4096 AS BIGINT) AS bucket
+              FROM g),
+        cnt AS (SELECT bucket,
+                       COUNT(*) AS cq,
+                       COUNT(*) FILTER (WHERE lang = 'en') AS cp
+                FROM b GROUP BY bucket),
+        tot AS (SELECT SUM(cq) AS tq, SUM(cp) AS tp FROM cnt),
+        lr AS (SELECT bucket,
+                      CAST(ROUND(1000000 * ln(((cp + 1.0) * (tq + 4096.0))
+                           / ((cq + 1.0) * (tp + 4096.0))), 0) AS BIGINT)
+                        AS lw
+               FROM cnt CROSS JOIN tot)
+        SELECT b.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(lr.lw) AS BIGINT) AS weight_micro
+        FROM b JOIN lr USING (bucket)
+        GROUP BY b.doc_id
+    """,
+    "decontaminate_ngram": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                             x -> x <> '') AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(CASE WHEN len(ws) >= 8 THEN
+              list_transform(range(1, len(ws) - 6),
+                             i -> array_to_string(ws[i:i+7], ' '))
+              ELSE [] END) AS gram FROM w),
+        gh AS (SELECT doc_id, md5_number_lower(gram) AS h FROM g),
+        probes AS (SELECT DISTINCT h FROM gh WHERE doc_id < 5),
+        hits AS (
+          SELECT gh.doc_id,
+                 COUNT(*) AS n_grams,
+                 COUNT(*) FILTER (WHERE probes.h IS NOT NULL) AS n_hits
+          FROM gh LEFT JOIN probes ON gh.h = probes.h
+          GROUP BY gh.doc_id)
+        SELECT d.doc_id,
+               COALESCE(hits.n_grams, 0) AS n_grams,
+               COALESCE(hits.n_hits, 0) AS n_hits,
+               COALESCE(hits.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
     """,
     # dedup_clusters / dedup_keep_first filled lazily to avoid a
     # circular import at module load
