@@ -41,7 +41,7 @@ def ddb():
      "tokenize_docs", "generic_right_join", "search_docs",
      "pmi_top20", "window_dedup", "search_bm25", "weighted_sample",
      "inverted_index", "chunk_overlap", "dsir_weights",
-     "decontaminate_ngram"],
+     "dsir_select", "decontaminate_ngram"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES
@@ -399,3 +399,22 @@ def test_decontaminate_ngram_planted(ray_session, tmp_path):
     assert out.loc[5, "contaminated"] and out.loc[5, "n_hits"] == 1
     assert not out.loc[6, "contaminated"] and out.loc[6, "n_hits"] == 0
     assert out.loc[7, "n_grams"] == 0 and not out.loc[7, "contaminated"]
+
+
+def test_dsir_select_prefers_high_weight_docs(ray_session, ddb):
+    """Gumbel-top-K selection must be (a) deterministic across reruns
+    (md5-derived noise) and (b) biased toward high-importance docs: the
+    mean DSIR weight of the 100 selected docs exceeds the corpus mean."""
+    from tiny_lingua_ray.pipelines.corpus_ext import (
+        q_dsir_select,
+        q_dsir_weights,
+    )
+
+    sel = q_dsir_select(SF_DIR)
+    again = q_dsir_select(SF_DIR)
+    assert sel.equals(again)
+
+    all_w = q_dsir_weights(SF_DIR).to_pandas()
+    assert (
+        sel["weight_micro"].mean() > all_w["weight_micro"].mean()
+    ), (sel["weight_micro"].mean(), all_w["weight_micro"].mean())

@@ -981,12 +981,64 @@ def q_dsir_weights(sf_dir: str):
     oracle-verifiability trade (stages/dedup.py:20) — production would
     pass fnv via the same batch hasher."""
     import ray
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    lw_ref = ray.put(_dsir_log_ratios(docs))
+    return docs.map_batches(
+        _DsirScore(lw_ref), batch_format="pyarrow"
+    )
+
+
+class _DsirScore:
+    """Stateless scoring callable for the DSIR passes (plain function
+    semantics; a class only to carry the broadcast log-ratio ref)."""
+
+    def __init__(self, lw_ref):
+        self.lw_ref = lw_ref
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import ray
+
+        from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
+
+        B = _DSIR_B
+        lwarr = ray.get(self.lw_ref) if not isinstance(
+            self.lw_ref, np.ndarray
+        ) else self.lw_ref
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        grams = _dsir_doc_grams(b.column("text").to_pylist())
+        flat, lens, offs = _gram_segments(grams)
+        if flat:
+            uniq, inv = np.unique(
+                np.asarray(flat, dtype=object), return_inverse=True
+            )
+            bk = (
+                _md5_lower64_batch(list(uniq)) % np.uint64(B)
+            ).astype(np.int64)
+            per_gram = lwarr[bk][inv]
+            w = _segment_sums(per_gram, offs)
+        else:
+            w = np.zeros(len(ids), dtype=np.int64)
+        keep = lens > 0  # oracle groups by doc over grams: 0-gram docs absent
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "n_grams": pa.array(lens[keep]),
+                "weight_micro": pa.array(w[keep]),
+            }
+        )
+
+
+def _dsir_log_ratios(docs) -> np.ndarray:
+    """Pass 1 of DSIR: fit both hashed-feature distributions and return
+    the quantized per-bucket log-ratio table (int64 micro-nats, len
+    ``_DSIR_B``).  Sparse (bucket, cq, cp) bincount partials ->
+    groupby(bucket).sum() -> <= _DSIR_B rows on the driver."""
     from ray.data.aggregate import Sum
 
     from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
 
     B = _DSIR_B
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def count_batch(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
@@ -1037,34 +1089,67 @@ def q_dsir_weights(sf_dir: str):
     ratio = ((cp + 1.0) * (tq + float(B))) / ((cq + 1.0) * (tp + float(B)))
     lw = _rha(1_000_000 * np.log(ratio), 0).astype(np.int64)
     lw[cq == 0] = 0  # unseen buckets are never gathered; keep table clean
-    lw_ref = ray.put(lw)
+    return lw
 
-    def score(b: pa.Table) -> pa.Table:
-        lwarr = ray.get(lw_ref)
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        grams = _dsir_doc_grams(b.column("text").to_pylist())
-        flat, lens, offs = _gram_segments(grams)
-        if flat:
-            uniq, inv = np.unique(
-                np.asarray(flat, dtype=object), return_inverse=True
+
+def q_dsir_select(sf_dir: str):
+    """DSIR end-to-end: featurize -> importance weights -> GUMBEL-TOP-K
+    resample (the paper's actual selection step, arXiv:2302.03169 §3 —
+    sampling without replacement proportional to exp(weight) is exactly
+    taking the K largest weight + Gumbel(0,1) keys).  The Gumbel noise
+    is derived from the md5 of the doc_id (the repo's replayable-
+    randomness convention, q_weighted_sample) so the selection is
+    rerun-stable and the WHOLE method — features, distributions,
+    weights, noise, ranking — replays in the DuckDB oracle.
+
+    Scale shape: pass 1 as q_dsir_weights; pass 2 adds the Gumbel key
+    and keeps a per-block partial top-K, so the driver merges
+    <= blocks x K rows and the corpus never shuffles."""
+    import ray
+
+    from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
+
+    K = 100
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    score = _DsirScore(ray.put(_dsir_log_ratios(docs)))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        s = score(b)
+        ids = s.column("doc_id").to_numpy(zero_copy_only=False)
+        w = s.column("weight_micro").to_numpy(zero_copy_only=False)
+        m = _md5_lower64_batch([str(int(i)) for i in ids])
+        u = (
+            (m % np.uint64(1_000_000)).astype(np.float64) + 0.5
+        ) / 1_000_000.0
+        skey = _rha(w / 1_000_000.0 - np.log(-np.log(u)), 6)
+        d = (
+            pd.DataFrame(
+                {
+                    "doc_id": ids.astype(np.int64),
+                    "weight_micro": w,
+                    "skey": skey,
+                }
             )
-            bk = (
-                _md5_lower64_batch(list(uniq)) % np.uint64(B)
-            ).astype(np.int64)
-            per_gram = lwarr[bk][inv]
-            w = _segment_sums(per_gram, offs)
-        else:
-            w = np.zeros(len(ids), dtype=np.int64)
-        keep = lens > 0  # oracle groups by doc over grams: 0-gram docs absent
+            .sort_values(["skey", "doc_id"], ascending=[False, True])
+            .head(K)
+        )
         return pa.table(
             {
-                "doc_id": pa.array(ids[keep]),
-                "n_grams": pa.array(lens[keep]),
-                "weight_micro": pa.array(w[keep]),
+                "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+                "weight_micro": pa.array(
+                    d["weight_micro"].to_numpy(), pa.int64()
+                ),
+                "skey": pa.array(d["skey"].to_numpy(), pa.float64()),
             }
         )
 
-    return docs.map_batches(score, batch_format="pyarrow")
+    out = (
+        docs.map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()  # <= blocks x K rows
+    )
+    return out.sort_values(
+        ["skey", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(K)
 
 
 # ---------------------------------------------------------------------------
@@ -1157,8 +1242,44 @@ QUERIES_CORPUS = {
     "incremental_dedup": q_incremental_dedup,
     "window_dedup": q_window_dedup,
     "dsir_weights": q_dsir_weights,
+    "dsir_select": q_dsir_select,
     "decontaminate_ngram": q_decontaminate_ngram,
 }
+
+# shared DSIR CTE chain: features -> hashed buckets -> both distributions
+# -> quantized log-ratios -> per-doc exact int64 weights
+_DSIR_CTE = """
+        w AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                             x -> x <> '') AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id, lang, unnest(ws) AS gram FROM w
+          UNION ALL
+          SELECT doc_id, lang, unnest(CASE WHEN len(ws) >= 2 THEN
+              list_transform(range(1, len(ws)),
+                             i -> ws[i] || ' ' || ws[i + 1])
+              ELSE [] END) AS gram FROM w),
+        b AS (SELECT doc_id, lang,
+                     CAST(md5_number_lower(gram) % 4096 AS BIGINT) AS bucket
+              FROM g),
+        cnt AS (SELECT bucket,
+                       COUNT(*) AS cq,
+                       COUNT(*) FILTER (WHERE lang = 'en') AS cp
+                FROM b GROUP BY bucket),
+        tot AS (SELECT SUM(cq) AS tq, SUM(cp) AS tp FROM cnt),
+        lr AS (SELECT bucket,
+                      CAST(ROUND(1000000 * ln(((cp + 1.0) * (tq + 4096.0))
+                           / ((cq + 1.0) * (tp + 4096.0))), 0) AS BIGINT)
+                        AS lw
+               FROM cnt CROSS JOIN tot),
+        wt AS (SELECT b.doc_id,
+                      COUNT(*) AS n_grams,
+                      CAST(SUM(lr.lw) AS BIGINT) AS weight_micro
+               FROM b JOIN lr USING (bucket)
+               GROUP BY b.doc_id)
+"""
 
 ORACLE_CORPUS = {
     "lang_word_top5": """
@@ -1296,37 +1417,21 @@ ORACLE_CORPUS = {
                2 * n_dup >= n_windows AS is_dup
         FROM agg
     """,
-    "dsir_weights": """
-        WITH w AS (
-          SELECT doc_id, lang,
-                 list_filter(string_split(lower(COALESCE(text, '')), ' '),
-                             x -> x <> '') AS ws
-          FROM documents),
-        g AS (
-          SELECT doc_id, lang, unnest(ws) AS gram FROM w
-          UNION ALL
-          SELECT doc_id, lang, unnest(CASE WHEN len(ws) >= 2 THEN
-              list_transform(range(1, len(ws)),
-                             i -> ws[i] || ' ' || ws[i + 1])
-              ELSE [] END) AS gram FROM w),
-        b AS (SELECT doc_id, lang,
-                     CAST(md5_number_lower(gram) % 4096 AS BIGINT) AS bucket
-              FROM g),
-        cnt AS (SELECT bucket,
-                       COUNT(*) AS cq,
-                       COUNT(*) FILTER (WHERE lang = 'en') AS cp
-                FROM b GROUP BY bucket),
-        tot AS (SELECT SUM(cq) AS tq, SUM(cp) AS tp FROM cnt),
-        lr AS (SELECT bucket,
-                      CAST(ROUND(1000000 * ln(((cp + 1.0) * (tq + 4096.0))
-                           / ((cq + 1.0) * (tp + 4096.0))), 0) AS BIGINT)
-                        AS lw
-               FROM cnt CROSS JOIN tot)
-        SELECT b.doc_id,
-               COUNT(*) AS n_grams,
-               CAST(SUM(lr.lw) AS BIGINT) AS weight_micro
-        FROM b JOIN lr USING (bucket)
-        GROUP BY b.doc_id
+    "dsir_weights": f"""
+        WITH {_DSIR_CTE}
+        SELECT doc_id, n_grams, weight_micro FROM wt
+    """,
+    "dsir_select": f"""
+        WITH {_DSIR_CTE},
+        keyed AS (
+          SELECT doc_id, weight_micro,
+                 ROUND(weight_micro / 1000000.0
+                       - ln(-ln((md5_number_lower(CAST(doc_id AS VARCHAR))
+                                 % 1000000 + 0.5) / 1000000.0)), 6) AS skey
+          FROM wt)
+        SELECT doc_id, weight_micro, skey FROM keyed
+        ORDER BY skey DESC, doc_id
+        LIMIT 100
     """,
     "decontaminate_ngram": """
         WITH w AS (
