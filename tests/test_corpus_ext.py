@@ -418,3 +418,26 @@ def test_dsir_select_prefers_high_weight_docs(ray_session, ddb):
     assert (
         sel["weight_micro"].mean() > all_w["weight_micro"].mean()
     ), (sel["weight_micro"].mean(), all_w["weight_micro"].mean())
+
+
+def test_ccnet_buckets_terciles_and_ordering(ray_session):
+    """CCNet bucketing properties: within each detected language the
+    head/middle/tail split is ~terciles (histogram-approximate cutoffs;
+    checked only where the language has enough docs for the law of
+    large numbers to apply), mean perplexity is ordered head < tail,
+    and the partition is exhaustive."""
+    from tiny_lingua_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["ccnet_buckets"](SF_DIR).to_pandas()
+    assert set(out["bucket"]) <= {"head", "middle", "tail"}
+    assert len(out) == 500  # every doc assigned exactly once
+
+    for lang, sub in out.groupby("pred_lang"):
+        h = sub[sub["bucket"] == "head"]["perplexity"]
+        t = sub[sub["bucket"] == "tail"]["perplexity"]
+        if len(h) and len(t):
+            assert h.mean() < t.mean(), lang
+        if len(sub) >= 100:
+            for b in ("head", "middle", "tail"):
+                frac = (sub["bucket"] == b).mean()
+                assert 0.2 < frac < 0.47, (lang, b, frac)

@@ -517,6 +517,138 @@ def q_perplexity(sf_dir: str):
     )
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): score every document with the n-gram LM of
+    its DETECTED language, then split each language into head / middle
+    / tail terciles by perplexity — the partition CCNet publishes and
+    downstream corpora sample from.  Rows-only by design (model-based
+    scores); bucket-proportion, ordering and determinism properties are
+    pinned in tests/test_corpus_ext.py.
+
+    Scale shape: one scoring pass (the same fused LangId+Perplexity
+    actor pools as q_perplexity), projected to the 3 scalar columns
+    (doc_id, pred_lang, perplexity — text dropped) and materialized:
+    ~24 B/row, so 2B docs is ~50 GB across the cluster's object store
+    (spillable) versus re-running model inference for a second pass.
+    Tercile cutoffs use the histogram-sketch machinery
+    (approx_quantiles_chars): per-batch (lang, bin, n) partials ride
+    one small shuffle keyed by lang*B+bin, the driver interpolates
+    <= langs x 2048 rows, and the broadcast cutoff table assigns
+    buckets in a final stateless map."""
+    _ensure_models_once()
+    from tiny_lingua_ray.stages.langid import LangIdScorer
+    from tiny_lingua_ray.stages.perplexity import PerplexityScorer
+
+    B = 2048
+
+    def project(batch: pa.Table) -> pa.Table:
+        pp = np.round(
+            batch.column("perplexity").to_numpy(zero_copy_only=False), 4
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": batch.column("pred_lang"),
+                "perplexity": pa.array(pp),
+            }
+        )
+
+    scored = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            LangIdScorer,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=_pool(),
+            num_cpus=1,
+        )
+        .map_batches(
+            PerplexityScorer,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=_pool(frac=0.5),
+            num_cpus=0.5,
+        )
+        .map_batches(project, batch_format="pyarrow")
+        .materialize()  # 3 scalar columns only; see docstring
+    )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = scored.aggregate(
+        Min("perplexity", alias_name="lo"), Max("perplexity", alias_name="hi")
+    )
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    width = max((hi - lo) / B, 1e-9)
+    langs_df = scored.groupby("pred_lang").count().to_pandas()
+    lang_ids = {
+        lang: i for i, lang in enumerate(sorted(langs_df["pred_lang"]))
+    }
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        v = b.column("perplexity").to_numpy(zero_copy_only=False)
+        li = np.array(
+            [lang_ids[x] for x in b.column("pred_lang").to_pylist()],
+            dtype=np.int64,
+        )
+        bins = np.minimum(((v - lo) / width).astype(np.int64), B - 1)
+        key = li * B + bins
+        cnt = np.bincount(key, minlength=len(lang_ids) * B)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "key": pa.array(nz.astype(np.int64)),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    hist = (
+        scored.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= langs x 2048 rows
+    )
+    # per-lang tercile cutoffs by histogram interpolation (CCNet's own
+    # cutoffs are computed the same way: approximate, then fixed)
+    cuts: dict[str, tuple[float, float]] = {}
+    for lang, li in lang_ids.items():
+        h = hist[(hist["key"] // B) == li].sort_values("key")
+        bins = (h["key"] % B).to_numpy()
+        cum = h["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        c = []
+        for q in (1 / 3, 2 / 3):
+            i = int(np.searchsorted(cum, q * total))
+            c.append(lo + (int(bins[min(i, len(bins) - 1)]) + 1) * width)
+        cuts[lang] = (c[0], c[1])
+
+    import ray
+
+    cuts_ref = ray.put(cuts)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cts = ray.get(cuts_ref)
+        v = b.column("perplexity").to_numpy(zero_copy_only=False)
+        langs = b.column("pred_lang").to_pylist()
+        bucket = [
+            "head"
+            if v[i] <= cts[langs[i]][0]
+            else ("middle" if v[i] <= cts[langs[i]][1] else "tail")
+            for i in range(len(langs))
+        ]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "pred_lang": b.column("pred_lang"),
+                "perplexity": b.column("perplexity"),
+                "bucket": pa.array(bucket, pa.string()),
+            }
+        )
+
+    return scored.map_batches(assign, batch_format="pyarrow")
+
+
 def q_quality_flags(sf_dir: str):
     from tiny_lingua_ray.stages.quality import quality_batch
 
@@ -3487,6 +3619,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "langid": q_langid,
     "perplexity": q_perplexity,
+    "ccnet_buckets": q_ccnet_buckets,
     "quality_flags": q_quality_flags,
     "corpus_prep": q_corpus_prep,
     "minhash_dedup": q_minhash_dedup,
