@@ -1225,6 +1225,114 @@ def q_decontaminate_ngram(sf_dir: str):
     return docs.map_batches(scan, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer training + application (stages/bpe.py)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP_V = 3000  # fit on the top-V words (exact counts; classic trainers
+# operate on the word-frequency dict, never the corpus)
+_BPE_MERGES = 100
+
+
+def _bpe_fit_from_corpus(sf_dir: str) -> list[tuple[str, str]]:
+    """Exact distributed word count (word-hash shard: a word's global
+    count lives in ONE shard), per-shard top-V partial -> driver merge
+    is exact because shards partition words; then the driver fits on
+    <= V (word, cnt) rows — corpus-size-independent."""
+    from tiny_lingua_ray.models.train import fnv1a_64
+    from tiny_lingua_ray.stages.bpe import bpe_fit
+
+    P = _shards_for_table(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update((t or "").lower().split(" "))
+        c.pop("", None)
+        words = list(c.keys())
+        shard = np.fromiter(
+            (fnv1a_64(w) % P for w in words),
+            dtype=np.int64,
+            count=len(words),
+        )
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+                "shard": pa.array(shard),
+            }
+        )
+
+    def shard_topv(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", as_index=False)["cnt"].sum()
+        return g.sort_values(
+            ["cnt", "word"], ascending=[False, True]
+        ).head(_BPE_TOP_V)
+
+    top = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_topv, batch_format="pandas")
+        .to_pandas()  # <= P x V rows
+        .sort_values(["cnt", "word"], ascending=[False, True])
+        .head(_BPE_TOP_V)
+    )
+    return bpe_fit(
+        list(top["word"]), top["cnt"].to_numpy(), num_merges=_BPE_MERGES
+    )
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): the ordered merge
+    table learned from the corpus's exact top-V word frequencies.
+    Rows-only by design (iterative algorithm, not SQL-expressible);
+    exact parity with an independent dict-based reference trainer plus
+    determinism are pinned in tests/test_bpe.py."""
+    merges = _bpe_fit_from_corpus(sf_dir)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(merges), dtype=np.int64),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+            "merged": [m[0] + m[1] for m in merges],
+        }
+    )
+
+
+def q_bpe_encode(sf_dir: str):
+    """Train-then-apply BPE: the merge table from q_bpe_merges is
+    broadcast once (ray.put) and a stateful actor pool encodes every
+    document (rank dict + per-word memo cache built per actor in
+    __init__, stages/bpe.BpeEncoder).  Output is the trained-tokenizer
+    token count per doc — the number that drives pack_sequences /
+    training-cost estimates once a real tokenizer is fit."""
+    import ray
+
+    from tiny_lingua_ray.pool import cpu_pool
+    from tiny_lingua_ray.stages.bpe import BpeEncoder
+
+    merges_ref = ray.put(_bpe_fit_from_corpus(sf_dir))
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "n_tokens_bpe_trained"])
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            BpeEncoder,
+            fn_constructor_kwargs={"merges_ref": merges_ref},
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=cpu_pool(),
+            num_cpus=1,
+        )
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
 QUERIES_CORPUS = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "lang_word_top5": q_lang_word_top5,
@@ -1244,6 +1352,8 @@ QUERIES_CORPUS = {
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
     "decontaminate_ngram": q_decontaminate_ngram,
+    "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
 }
 
 # shared DSIR CTE chain: features -> hashed buckets -> both distributions
