@@ -441,3 +441,42 @@ def test_ccnet_buckets_terciles_and_ordering(ray_session):
             for b in ("head", "middle", "tail"):
                 frac = (sub["bucket"] == b).mean()
                 assert 0.2 < frac < 0.47, (lang, b, frac)
+
+
+def test_ccnet_buckets_unknown_language_docs(ray_session, tmp_path):
+    """Regression (round-4 review): a doc with no scorable text (digits
+    only -> pred_lang 'unknown', NaN perplexity) must land in the
+    'unknown' bucket instead of poisoning the histogram (np.bincount
+    used to raise on the negative bin of a NaN cast)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiny_lingua_ray.pipelines.queries import QUERIES
+
+    base = pq.read_table(
+        f"{SF_DIR}/documents.parquet"
+    ).to_pandas().head(40)
+    weird = pd.DataFrame(
+        {
+            "doc_id": [9001, 9002],
+            "text": ["1234 5678 90", ""],
+            "lang": ["en", "en"],
+            "source": ["x", "x"],
+            "n_chars": [12, 0],
+        }
+    )
+    docs = pd.concat([base, weird], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet")
+    )
+
+    out = (
+        QUERIES["ccnet_buckets"](str(tmp_path)).to_pandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == 42
+    assert out.loc[9001, "bucket"] == "unknown"
+    assert out.loc[9002, "bucket"] == "unknown"
+    real = out.drop([9001, 9002])
+    assert set(real["bucket"]) <= {"head", "middle", "tail", "unknown"}

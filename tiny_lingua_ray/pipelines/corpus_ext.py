@@ -997,14 +997,11 @@ class _DsirScore:
         self.lw_ref = lw_ref
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        import ray
-
         from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
+        from tiny_lingua_ray.tableutil import deref
 
         B = _DSIR_B
-        lwarr = ray.get(self.lw_ref) if not isinstance(
-            self.lw_ref, np.ndarray
-        ) else self.lw_ref
+        lwarr = deref(self.lw_ref)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         grams = _dsir_doc_grams(b.column("text").to_pylist())
         flat, lens, offs = _gram_segments(grams)
@@ -1192,7 +1189,7 @@ def q_decontaminate_ngram(sf_dir: str):
     ).to_pandas()
     pg = [g for t in probe_rows["text"] for g in _word_ngrams(t)]
     probe = (
-        np.sort(np.unique(_md5_lower64_batch(pg)))
+        np.unique(_md5_lower64_batch(pg))  # unique() output is sorted
         if pg
         else np.array([], dtype=np.uint64)
     )

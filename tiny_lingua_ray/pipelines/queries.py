@@ -546,11 +546,18 @@ def q_ccnet_buckets(sf_dir: str):
         pp = np.round(
             batch.column("perplexity").to_numpy(zero_copy_only=False), 4
         )
+        # NaN perplexity = unmodeled language / letterless text
+        # (PerplexityScorer emits NaN for pred_lang='unknown'): surface
+        # as NULL so the aggregates below skip it and the doc lands in
+        # the 'unknown' bucket instead of poisoning the histogram.
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "pred_lang": batch.column("pred_lang"),
-                "perplexity": pa.array(pp),
+                "perplexity": pa.array(
+                    [None if np.isnan(v) else float(v) for v in pp],
+                    pa.float64(),
+                ),
             }
         )
 
@@ -576,25 +583,35 @@ def q_ccnet_buckets(sf_dir: str):
 
     from ray.data.aggregate import Max, Min, Sum
 
-    mm = scored.aggregate(
-        Min("perplexity", alias_name="lo"), Max("perplexity", alias_name="hi")
+    # ONE pass enumerates the languages AND the scored range (NULL
+    # perplexities skipped): <= langs rows back on the driver
+    mm = (
+        scored.groupby("pred_lang")
+        .aggregate(
+            Min("perplexity", alias_name="lo", ignore_nulls=True),
+            Max("perplexity", alias_name="hi", ignore_nulls=True),
+        )
+        .to_pandas()
     )
-    lo, hi = float(mm["lo"]), float(mm["hi"])
+    mm = mm[mm["lo"].notna()]
+    if mm.empty:  # every doc unmodeled: everything is 'unknown'
+        lo, hi = 0.0, 1.0
+    else:
+        lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
     width = max((hi - lo) / B, 1e-9)
-    langs_df = scored.groupby("pred_lang").count().to_pandas()
-    lang_ids = {
-        lang: i for i, lang in enumerate(sorted(langs_df["pred_lang"]))
-    }
+    lang_ids = {lang: i for i, lang in enumerate(sorted(mm["pred_lang"]))}
 
     def hist_partial(b: pa.Table) -> pa.Table:
         v = b.column("perplexity").to_numpy(zero_copy_only=False)
         li = np.array(
-            [lang_ids[x] for x in b.column("pred_lang").to_pylist()],
+            [lang_ids.get(x, -1) for x in b.column("pred_lang").to_pylist()],
             dtype=np.int64,
         )
+        ok = (li >= 0) & ~np.isnan(v)
+        v, li = v[ok], li[ok]
         bins = np.minimum(((v - lo) / width).astype(np.int64), B - 1)
         key = li * B + bins
-        cnt = np.bincount(key, minlength=len(lang_ids) * B)
+        cnt = np.bincount(key, minlength=max(len(lang_ids), 1) * B)
         nz = np.flatnonzero(cnt)
         return pa.table(
             {
@@ -609,11 +626,15 @@ def q_ccnet_buckets(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # <= langs x 2048 rows
     )
+    if hist.empty:  # all-unknown corpus: column-less frame from Ray
+        hist = pd.DataFrame({"key": [], "n": []})
     # per-lang tercile cutoffs by histogram interpolation (CCNet's own
     # cutoffs are computed the same way: approximate, then fixed)
     cuts: dict[str, tuple[float, float]] = {}
     for lang, li in lang_ids.items():
         h = hist[(hist["key"] // B) == li].sort_values("key")
+        if h.empty:
+            continue
         bins = (h["key"] % B).to_numpy()
         cum = h["n"].cumsum().to_numpy()
         total = int(cum[-1])
@@ -631,12 +652,17 @@ def q_ccnet_buckets(sf_dir: str):
         cts = ray.get(cuts_ref)
         v = b.column("perplexity").to_numpy(zero_copy_only=False)
         langs = b.column("pred_lang").to_pylist()
-        bucket = [
-            "head"
-            if v[i] <= cts[langs[i]][0]
-            else ("middle" if v[i] <= cts[langs[i]][1] else "tail")
-            for i in range(len(langs))
-        ]
+        bucket = []
+        for i in range(len(langs)):
+            ct = cts.get(langs[i])
+            if ct is None or np.isnan(v[i]):
+                bucket.append("unknown")  # unmodeled language / no score
+            elif v[i] <= ct[0]:
+                bucket.append("head")
+            elif v[i] <= ct[1]:
+                bucket.append("middle")
+            else:
+                bucket.append("tail")
         return pa.table(
             {
                 "doc_id": b.column("doc_id"),

@@ -143,6 +143,9 @@ class BpeEncoder:
     ``__init__`` (broadcast ref or plain list), per-word memo cache in
     ``__call__``; appends int64 ``n_tokens_bpe_trained``."""
 
+    CACHE_CAP = 500_000  # Zipf: frequent words enter early; rare words
+    # past the cap re-encode (bounded actor heap on web-scale vocab)
+
     def __init__(self, merges_ref, text_column: str = "text"):
         from tiny_lingua_ray.tableutil import deref
 
@@ -153,7 +156,7 @@ class BpeEncoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = np.zeros(batch.num_rows, dtype=np.int64)
-        cache, rank = self.cache, self.rank
+        cache, rank, cap = self.cache, self.rank, self.CACHE_CAP
         for i, t in enumerate(batch.column(self.text_column).to_pylist()):
             tot = 0
             for w in (t or "").lower().split(" "):
@@ -162,7 +165,8 @@ class BpeEncoder:
                 c = cache.get(w)
                 if c is None:
                     c = len(encode_word(w, rank))
-                    cache[w] = c
+                    if len(cache) < cap:
+                        cache[w] = c
                 tot += c
             n[i] = tot
         return batch.append_column(
