@@ -41,7 +41,7 @@ def ddb():
      "tokenize_docs", "generic_right_join", "search_docs",
      "pmi_top20", "window_dedup", "search_bm25", "weighted_sample",
      "inverted_index", "chunk_overlap", "dsir_weights",
-     "dsir_select", "decontaminate_ngram"],
+     "dsir_select", "decontaminate_ngram", "temperature_mixture"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES
@@ -480,3 +480,49 @@ def test_ccnet_buckets_unknown_language_docs(ray_session, tmp_path):
     assert out.loc[9002, "bucket"] == "unknown"
     real = out.drop([9001, 9002])
     assert set(real["bucket"]) <= {"head", "middle", "tail", "unknown"}
+
+
+def test_temperature_mixture_rebalances_skew(ray_session, tmp_path):
+    """alpha=0.5 temperature sampling on a planted 90/5/5 corpus: the
+    dominant source's share of the SAMPLE must shrink vs its corpus
+    share, the tail sources' shares must grow (toward the sqrt
+    shares), and a rerun is identical (md5-derived inclusion)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiny_lingua_ray.pipelines.corpus_ext import q_temperature_mixture
+
+    rows = (
+        [("big", i) for i in range(900)]
+        + [("small_a", 900 + i) for i in range(50)]
+        + [("small_b", 950 + i) for i in range(50)]
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [r[1] for r in rows],
+            "source": [r[0] for r in rows],
+            "text": ["x"] * len(rows),
+            "lang": ["en"] * len(rows),
+            "n_chars": [1] * len(rows),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet")
+    )
+
+    out = q_temperature_mixture(str(tmp_path)).to_pandas()
+    again = q_temperature_mixture(str(tmp_path)).to_pandas()
+    assert out.sort_values("doc_id", ignore_index=True).equals(
+        again.sort_values("doc_id", ignore_index=True)
+    )
+    n_sel = out.groupby("source").size()
+    # small sources saturate (target 500*0.16=80 > available 50 ->
+    # rate capped at 1.0): ALL 50 docs of each tail source selected
+    assert n_sel["small_a"] == 50 and n_sel["small_b"] == 50
+    # big is sampled at ~K * p_big / n_big = 500*0.6796/900 ~ 37.8%
+    assert abs(n_sel["big"] / 900 - 0.378) < 0.05, n_sel.to_dict()
+    # net effect: big's SAMPLE share (~0.77) sits below its corpus
+    # share (0.90) — the rebalancing the operator exists for
+    share = n_sel / len(out)
+    assert share["big"] < 0.85

@@ -1330,6 +1330,56 @@ def q_bpe_encode(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Temperature-based mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def q_temperature_mixture(sf_dir: str):
+    """Temperature-based data-mixture sampling (Conneau & Lample 2019,
+    arXiv:1901.07291 §3.1; the alpha=0.5 source-rebalancing every
+    multilingual/multi-source pretraining corpus uses): target share of
+    source s is n_s^alpha / sum_t n_t^alpha, so high-resource sources
+    are downsampled and low-resource ones kept.  Total budget K is half
+    the corpus.  All randomness is the md5 of doc_id (the repo's
+    replayable convention) and the per-source rates are quantized to
+    integer millionths with sqrt pre-quantized too, so the inclusion
+    test is INTEGER-exact and the whole operator replays in SQL.
+
+    Scale shape: one tiny groupby(source).count() (sources are bounded:
+    domains/datasets, not documents), driver computes the <=|sources|
+    threshold table, broadcast once; selection is a stateless hash
+    filter — no corpus shuffle."""
+    import ray
+
+    from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    cnt = docs.groupby("source").count().to_pandas()
+    n = dict(zip(cnt["source"], cnt["count()"].astype(int)))
+    # alpha = 0.5 share, quantized exactly as the oracle does
+    s = {k: int(_rha(1_000_000 * np.sqrt(v), 0)) for k, v in n.items()}
+    st = sum(s.values())
+    nt = sum(n.values())
+    K = nt // 2
+    thresh = {
+        k: int(np.floor(1_000_000 * min(1.0, (K * ((s[k] * 1.0) / st)) / n[k])))
+        for k in s
+    }
+    t_ref = ray.put(thresh)
+
+    def pick(b: pa.Table) -> pa.Table:
+        th = ray.get(t_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        src = b.column("source").to_pylist()
+        m = _md5_lower64_batch([str(int(i)) for i in ids])
+        u = (m % np.uint64(1_000_000)).astype(np.int64)
+        lim = np.fromiter((th[x] for x in src), dtype=np.int64, count=len(src))
+        return b.filter(pa.array(u < lim))
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
 QUERIES_CORPUS = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "lang_word_top5": q_lang_word_top5,
@@ -1351,6 +1401,7 @@ QUERIES_CORPUS = {
     "decontaminate_ngram": q_decontaminate_ngram,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "temperature_mixture": q_temperature_mixture,
 }
 
 # shared DSIR CTE chain: features -> hashed buckets -> both distributions
@@ -1564,6 +1615,23 @@ ORACLE_CORPUS = {
                COALESCE(hits.n_hits, 0) AS n_hits,
                COALESCE(hits.n_hits, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+    "temperature_mixture": """
+        WITH cnt AS (SELECT source, COUNT(*) AS n
+                     FROM documents GROUP BY source),
+        q AS (SELECT source, n,
+                     CAST(ROUND(1000000 * sqrt(n), 0) AS BIGINT) AS s
+              FROM cnt),
+        tot AS (SELECT SUM(s) AS st, SUM(n) AS nt FROM q),
+        rate AS (SELECT source, n,
+                        CAST(FLOOR(1000000 * LEAST(1.0,
+                             ((nt // 2) * ((s * 1.0) / st)) / n))
+                          AS BIGINT) AS thresh
+                 FROM q CROSS JOIN tot)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rate USING (source)
+        WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000
+              < rate.thresh
     """,
     # dedup_clusters / dedup_keep_first filled lazily to avoid a
     # circular import at module load
