@@ -53,6 +53,9 @@ BENCH_QUERIES = (
     "pretraining_prep",
     "winsorize_chars",
     "window_dedup",
+    "dsir_weights",
+    "temperature_mixture",
+    "bpe_encode",
 )
 
 
