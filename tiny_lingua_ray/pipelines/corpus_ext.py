@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import numpy as np
 from tiny_lingua_ray.tableutil import round_half_away as _rha
-from tiny_lingua_ray.stages.partitioning import shards_for as _shards_for
 from tiny_lingua_ray.stages.partitioning import shards_for_table as _shards_for_table
 import pandas as pd
 import pyarrow as pa
@@ -866,22 +865,17 @@ def q_window_dedup(sf_dir: str):
     def flag_in_shard(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
             return empty_flags
-        wno = df["wno"].to_numpy()
-        assert wno.max() < 100_000, "packed (doc_id, wno) key overflow"
-        key = df["doc_id"].to_numpy() * 100_000 + wno
-        # group by the window STRING (the hash only routes)
-        fk = (
-            pd.Series(key)
-            .groupby(df["win"].to_numpy(), sort=False)
-            .transform("min")
-            .to_numpy()
-        )
-        doc = df["doc_id"].to_numpy()
+        # first occurrence by (win, doc_id, wno) TUPLE order — no
+        # packed integer key, so no window-count ceiling per doc
+        # (group by the window STRING; the hash only routes)
+        d = df.sort_values(["win", "doc_id", "wno"])
+        dup = d["win"].duplicated().to_numpy().astype(np.int64)
+        doc = d["doc_id"].to_numpy()
         return pa.table(
             {
                 "shard2": pa.array((doc % P).astype(np.int64)),
                 "doc_id": pa.array(doc, pa.int64()),
-                "dup": pa.array((key > fk).astype(np.int64)),
+                "dup": pa.array(dup),
             }
         )
 
@@ -984,7 +978,8 @@ def q_dsir_weights(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     lw_ref = ray.put(_dsir_log_ratios(docs))
-    return docs.map_batches(
+    # scoring pass never uses lang: fresh 2-column read
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         _DsirScore(lw_ref), batch_format="pyarrow"
     )
 
@@ -1141,7 +1136,9 @@ def q_dsir_select(sf_dir: str):
         )
 
     out = (
-        docs.map_batches(partial_topk, batch_format="pyarrow")
+        # scoring pass never uses lang: fresh 2-column read
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(partial_topk, batch_format="pyarrow")
         .to_pandas()  # <= blocks x K rows
     )
     return out.sort_values(
@@ -1562,15 +1559,16 @@ ORACLE_CORPUS = {
             SELECT UNNEST(generate_series(0,
               CAST(FLOOR((len(ws) - 15) / 5.0) AS INT))) AS i) t
           WHERE len(ws) >= 15),
-        firsts AS (
-          SELECT win, MIN(doc_id * 100000 + wno) AS fk
-          FROM wins GROUP BY win),
+        flags AS (
+          SELECT doc_id,
+                 CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY win ORDER BY doc_id, wno) > 1
+                      THEN 1 ELSE 0 END AS dup
+          FROM wins),
         agg AS (
-          SELECT wn.doc_id, COUNT(*) AS n_windows,
-                 CAST(SUM(CASE WHEN wn.doc_id * 100000 + wn.wno > f.fk
-                          THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
-          FROM wins wn JOIN firsts f ON f.win = wn.win
-          GROUP BY wn.doc_id)
+          SELECT doc_id, COUNT(*) AS n_windows,
+                 CAST(SUM(dup) AS BIGINT) AS n_dup
+          FROM flags GROUP BY doc_id)
         SELECT doc_id, n_windows, n_dup,
                2 * n_dup >= n_windows AS is_dup
         FROM agg

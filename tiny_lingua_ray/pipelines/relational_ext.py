@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import numpy as np
 from tiny_lingua_ray.tableutil import round_half_away as _rha
-from tiny_lingua_ray.stages.partitioning import shards_for as _shards_for
 from tiny_lingua_ray.stages.partitioning import shards_for_table as _shards_for_table
 import pandas as pd
 import pyarrow as pa
@@ -873,7 +872,7 @@ def q_running_total(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     # next power of two >= the size-derived count (bit_wise_and mask)
-    P = 1 << (shards_for(ds) - 1).bit_length()
+    P = shards_for(ds, pow2=True)
 
     def prep(b: pa.Table) -> pa.Table:
         uid = pc.cast(b.column("user_id"), pa.int64())

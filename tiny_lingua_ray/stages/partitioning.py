@@ -39,7 +39,7 @@ SALT_COL = "__salt"
 
 
 def shards_for(ds, target_bytes: int = 64 << 20, lo: int = 16,
-               hi: int = 1 << 20) -> int:
+               hi: int = 1 << 20, pow2: bool = False) -> int:
     """Coarse shard-group count for the one-exchange ``map_groups``
     idiom, derived from the input size.
 
@@ -56,7 +56,10 @@ def shards_for(ds, target_bytes: int = 64 << 20, lo: int = 16,
         nbytes = int(ds.size_bytes() or 0)
     except Exception:  # noqa: BLE001 — size unknown: fall back to floor
         nbytes = 0
-    return int(max(lo, min(hi, -(-nbytes // target_bytes))))
+    n = int(max(lo, min(hi, -(-nbytes // target_bytes))))
+    # pow2: for callers sharding with a bit_wise_and(key, P - 1) mask
+    # (same rule as shards_for_table)
+    return 1 << (n - 1).bit_length() if pow2 else n
 
 
 def shards_for_table(sf_dir: str, table: str,
