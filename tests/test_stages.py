@@ -214,8 +214,8 @@ def test_multiformat_sources_identical(ray_session, tmp_path):
         .sort_values("doc_id", ignore_index=True)
     )
     assert len(base) == pq.read_metadata(src).num_rows
-    for fmt in ("csv", "jsonl"):
-        out = tmp_path / fmt
+    for fmt in ("csv", "jsonl", "jsonl.gz"):
+        out = tmp_path / fmt.replace(".", "_")
         write_documents(read_documents(src, fmt="parquet"), str(out), fmt=fmt)
         got = (
             read_documents(str(out), fmt=fmt)
@@ -223,6 +223,13 @@ def test_multiformat_sources_identical(ray_session, tmp_path):
             .sort_values("doc_id", ignore_index=True)
         )
         assert got.equals(base), fmt
+    # gzip content sanity: the jsonl.gz files are actually compressed
+    import gzip
+    import pathlib
+
+    f = next(pathlib.Path(tmp_path / "jsonl_gz").iterdir())
+    with gzip.open(f, "rt") as fh:
+        assert '"doc_id"' in fh.readline()
 
 
 def test_multiformat_missing_column_fails_loudly(ray_session, tmp_path):

@@ -66,9 +66,14 @@ def read_documents(path: str, fmt: str | None = None,
     import ray.data as rd
 
     if fmt is None:
-        suffix = Path(path).suffix.lstrip(".").lower() or "parquet"
-        fmt = {"json": "jsonl", "jsonl": "jsonl", "csv": "csv",
-               "parquet": "parquet"}.get(suffix, "parquet")
+        name = Path(path).name.lower()
+        if name.endswith((".jsonl.gz", ".json.gz")):
+            fmt = "jsonl.gz"
+        else:
+            suffix = Path(path).suffix.lstrip(".").lower() or "parquet"
+            fmt = {"json": "jsonl", "jsonl": "jsonl", "csv": "csv",
+                   "gz": "jsonl.gz",
+                   "parquet": "parquet"}.get(suffix, "parquet")
     if fmt == "parquet":
         want = ([f.name for f in schema] if columns is None else columns)
         # parquet prunes at the read; others prune right after parse
@@ -79,6 +84,18 @@ def read_documents(path: str, fmt: str | None = None,
         return _normalize(rd.read_csv(path), columns, schema)
     if fmt == "jsonl":
         return _normalize(rd.read_json(path), columns, schema)
+    if fmt == "jsonl.gz":
+        # the web-corpus interchange format (CommonCrawl-derived dumps
+        # ship as gzipped JSONL); Arrow decompresses in the read stream
+        return _normalize(
+            rd.read_json(
+                path,
+                arrow_open_stream_args={"compression": "gzip"},
+                file_extensions=None,
+            ),
+            columns,
+            schema,
+        )
     raise ValueError(f"unsupported format {fmt!r}")
 
 
@@ -92,6 +109,10 @@ def write_documents(ds, out_dir: str, fmt: str = "parquet"):
         ds.write_csv(out_dir)
     elif fmt == "jsonl":
         ds.write_json(out_dir)
+    elif fmt == "jsonl.gz":
+        ds.write_json(
+            out_dir, arrow_open_stream_args={"compression": "gzip"}
+        )
     else:
         raise ValueError(f"unsupported format {fmt!r}")
     return out_dir
