@@ -150,7 +150,9 @@ def test_queries_survive_empty_input(ray_session, tmp_path):
         "percent_rank_docs", "retention_cohorts", "cube_event_stats",
         "semantic_dedup", "quality_classifier", "search_docs",
         "tokenize_docs", "generic_right_join", "event_transitions",
-        "pmi_top20", "window_dedup",
+        "pmi_top20", "window_dedup", "dsir_weights", "dsir_select",
+        "decontaminate_ngram", "temperature_mixture", "bpe_merges",
+        "bpe_encode",
     )
     import pandas as pd
 

@@ -1072,10 +1072,16 @@ def _dsir_log_ratios(docs) -> np.ndarray:
         .aggregate(Sum("cq", alias_name="cq"), Sum("cp", alias_name="cp"))
         .to_pandas()  # <= 4096 rows by construction
     )
+    if cnt.empty:  # empty corpus: column-less frame from Ray
+        cnt = pd.DataFrame({"bucket": [], "cq": [], "cp": []})
     cq = np.zeros(B, dtype=np.int64)
     cp = np.zeros(B, dtype=np.int64)
-    cq[cnt["bucket"].to_numpy()] = cnt["cq"].to_numpy()
-    cp[cnt["bucket"].to_numpy()] = cnt["cp"].to_numpy()
+    cq[cnt["bucket"].to_numpy(dtype=np.int64)] = cnt["cq"].to_numpy(
+        dtype=np.int64
+    )
+    cp[cnt["bucket"].to_numpy(dtype=np.int64)] = cnt["cp"].to_numpy(
+        dtype=np.int64
+    )
     tq, tp = int(cq.sum()), int(cp.sum())
     # add-1 smoothing; EXACT float expression of the SQL oracle
     ratio = ((cp + 1.0) * (tq + float(B))) / ((cq + 1.0) * (tp + float(B)))
@@ -1141,6 +1147,10 @@ def q_dsir_select(sf_dir: str):
         .map_batches(partial_topk, batch_format="pyarrow")
         .to_pandas()  # <= blocks x K rows
     )
+    if out.empty:  # empty corpus: column-less frame from Ray
+        return pd.DataFrame(
+            {"doc_id": [], "weight_micro": [], "skey": []}
+        ).astype({"doc_id": np.int64, "weight_micro": np.int64})
     return out.sort_values(
         ["skey", "doc_id"], ascending=[False, True], ignore_index=True
     ).head(K)
@@ -1184,6 +1194,8 @@ def q_decontaminate_ngram(sf_dir: str):
         lambda b: b.filter(pc.less(b.column("doc_id"), _N_PROBES)),
         batch_format="pyarrow",
     ).to_pandas()
+    if probe_rows.empty:  # empty corpus: column-less frame from Ray
+        probe_rows = pd.DataFrame({"doc_id": [], "text": []})
     pg = [g for t in probe_rows["text"] for g in _word_ngrams(t)]
     probe = (
         np.unique(_md5_lower64_batch(pg))  # unique() output is sorted
@@ -1266,14 +1278,14 @@ def _bpe_fit_from_corpus(sf_dir: str) -> list[tuple[str, str]]:
             ["cnt", "word"], ascending=[False, True]
         ).head(_BPE_TOP_V)
 
-    top = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(shard_topv, batch_format="pandas")
-        .to_pandas()  # <= P x V rows
-        .sort_values(["cnt", "word"], ascending=[False, True])
-        .head(_BPE_TOP_V)
-    )
+    top = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "shard"
+    ).map_groups(shard_topv, batch_format="pandas").to_pandas()
+    if top.empty:  # empty corpus: column-less frame from Ray
+        return []
+    top = top.sort_values(
+        ["cnt", "word"], ascending=[False, True]
+    ).head(_BPE_TOP_V)
     return bpe_fit(
         list(top["word"]), top["cnt"].to_numpy(), num_merges=_BPE_MERGES
     )
@@ -1353,6 +1365,10 @@ def q_temperature_mixture(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
     cnt = docs.groupby("source").count().to_pandas()
+    if cnt.empty:  # empty corpus: nothing to sample
+        return pd.DataFrame({"doc_id": [], "source": []}).astype(
+            {"doc_id": np.int64, "source": str}
+        )
     n = dict(zip(cnt["source"], cnt["count()"].astype(int)))
     # alpha = 0.5 share, quantized exactly as the oracle does
     s = {k: int(_rha(1_000_000 * np.sqrt(v), 0)) for k, v in n.items()}
