@@ -152,7 +152,15 @@ def test_queries_survive_empty_input(ray_session, tmp_path):
         "tokenize_docs", "generic_right_join", "event_transitions",
         "pmi_top20", "window_dedup", "dsir_weights", "dsir_select",
         "decontaminate_ngram", "temperature_mixture", "bpe_merges",
-        "bpe_encode",
+        "bpe_encode", "weighted_sample", "search_bm25", "inverted_index",
+        "chunk_overlap", "fingerprint", "jaccard_pairs",
+        "dedup_keep_first", "decontaminate", "stratified_sample",
+        "hash_split", "group_topk_docs", "global_rank_docs",
+        "running_total", "event_gaps", "rollup_pricing",
+        "anti_join_inactive_customers", "bloom_semi_join",
+        "star_join_region_stats", "tfidf_top_terms", "lang_word_top5",
+        "incremental_dedup", "repetition_signals", "source_stats",
+        "lang_balanced_sample", "pack_sequences",
     )
     import pandas as pd
 

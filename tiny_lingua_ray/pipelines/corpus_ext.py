@@ -73,7 +73,8 @@ def q_tfidf_top_terms(sf_dir: str):
         return pa.table({"lang": pc.unique(b.column("lang"))})
 
     langs = docs.map_batches(distinct_langs, batch_format="pyarrow").to_pandas()
-    n_langs = int(langs["lang"].nunique())
+    # empty corpus yields zero batches -> column-less frame from Ray
+    n_langs = 0 if langs.empty else int(langs["lang"].nunique())
 
     def partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -139,6 +140,8 @@ def q_tfidf_top_terms(sf_dir: str):
         .map_groups(topk_in_shard, batch_format="pandas")
         .to_pandas()  # <= P x L x K rows
     )
+    if out.empty:  # empty corpus: column-less frame from Ray
+        out = pd.DataFrame({"lang": [], "word": [], "score": []})
     out = out.sort_values(
         ["lang", "score", "word"], ascending=[True, False, True]
     )
@@ -450,11 +453,21 @@ def q_pack_sequences(sf_dir: str):
     # once (in the tokens pass below)
     from ray.data.aggregate import Max
 
-    max_id = int(
-        _read(sf_dir, "documents", columns=["doc_id"]).aggregate(
-            Max("doc_id", alias_name="m")
-        )["m"]
-    )
+    max_agg = _read(sf_dir, "documents", columns=["doc_id"]).aggregate(
+        Max("doc_id", alias_name="m")
+    )["m"]
+    if max_agg is None:  # empty corpus: Max aggregate is None
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "lang": pa.array([], pa.string()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "bin_id": pa.array([], pa.int64())}
+            )
+        )
+    max_id = int(max_agg)
     span = max_id + 1
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
@@ -583,16 +596,15 @@ def q_decontaminate(sf_dir: str):
     import ray
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    probe_rows = (
-        docs.map_batches(
-            lambda b: b.filter(
-                pc.less(b.column("doc_id"), _N_PROBES)
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-        .sort_values("doc_id")
-    )
+    probe_rows = docs.map_batches(
+        lambda b: b.filter(
+            pc.less(b.column("doc_id"), _N_PROBES)
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if probe_rows.empty:  # empty corpus: column-less frame from Ray
+        probe_rows = pd.DataFrame({"doc_id": [], "text": []})
+    probe_rows = probe_rows.sort_values("doc_id")
     probes = [
         (int(r["doc_id"]), (r["text"] or "")[:_PROBE_LEN])
         for _, r in probe_rows.iterrows()
@@ -686,21 +698,23 @@ def q_incremental_dedup(sf_dir: str):
 
     state = tempfile.mkdtemp(prefix="tlr_dedup_index_")
     try:
-        out = (
-            incremental_exact_dedup(
-                rd.read_parquet(
-                    f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text"],
-                ),
-                state,
-                num_shards=_shards_for_table(sf_dir, "documents"),
-            )
-            .to_pandas()
-            .sort_values("doc_id", ignore_index=True)
-        )
+        out = incremental_exact_dedup(
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"],
+            ),
+            state,
+            num_shards=_shards_for_table(sf_dir, "documents"),
+        ).to_pandas()
     finally:
         shutil.rmtree(state, ignore_errors=True)
-    return out[["doc_id", "is_new"]]
+    if out.empty:  # empty corpus: column-less frame from Ray
+        return pd.DataFrame({"doc_id": [], "is_new": []}).astype(
+            {"doc_id": np.int64, "is_new": bool}
+        )
+    return out.sort_values("doc_id", ignore_index=True)[
+        ["doc_id", "is_new"]
+    ]
 
 
 def _dedup_clusters_oracle(jaccard_pairs_sql: str) -> str:

@@ -3243,6 +3243,10 @@ def q_weighted_sample(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()  # <= blocks x K rows
     )
+    if out.empty:  # empty corpus: column-less frame from Ray
+        return pd.DataFrame(
+            {"doc_id": [], "n_chars": [], "skey": []}
+        ).astype({"doc_id": np.int64, "n_chars": np.int64})
     return out.sort_values(
         ["skey", "doc_id"], ascending=[False, True], ignore_index=True
     ).head(K)

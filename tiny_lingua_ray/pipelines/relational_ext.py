@@ -332,6 +332,8 @@ def q_group_topk_docs(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
+    if parts.empty:  # empty corpus: column-less frame from Ray
+        parts = pd.DataFrame({"lang": [], "doc_id": [], "n_chars": []})
     top = parts.sort_values(
         ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
     )
@@ -503,6 +505,8 @@ def q_stratified_sample(sf_dir: str, scheme: str = "md5"):
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
+    if parts.empty:  # empty corpus: column-less frame from Ray
+        parts = pd.DataFrame({"lang": [], "doc_id": [], "rank_key": []})
     top = (
         parts.sort_values(["lang", "rank_key", "doc_id"])
         .groupby("lang", as_index=False)
@@ -957,6 +961,11 @@ def q_rollup_pricing(sf_dir: str):
         )
         .to_pandas()
     )
+    if out.empty:  # empty input: column-less frame from Ray
+        out = pd.DataFrame(
+            {"l_returnflag": [], "l_linestatus": [], "revenue": [],
+             "n_rows": []}
+        )
     out["revenue"] = _rha(out["revenue"], 2)
     return out[["l_returnflag", "l_linestatus", "revenue", "n_rows"]]
 
@@ -1069,6 +1078,10 @@ def q_star_join_region_stats(sf_dir: str):
 
     nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
     reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    if nat.empty or reg.empty:  # empty dims: column-less frames from Ray
+        return pd.DataFrame(
+            {"r_name": [], "n_customers": [], "avg_acctbal": []}
+        ).astype({"n_customers": np.int64})
     lut = nat.merge(
         reg, left_on="n_regionkey", right_on="r_regionkey"
     ).set_index("n_nationkey")["r_name"]
@@ -1298,6 +1311,16 @@ def q_global_rank_docs(sf_dir: str):
     # source/length), which would collapse the buckets onto one worker.
     # Correctness never depends on the sample, only balance does.
     n_total = docs.count()
+    if n_total == 0:  # empty corpus: typed empty result
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_chars": pa.array([], pa.int64()),
+                 "rk": pa.array([], pa.int64())}
+            )
+        )
     stride = max(1, n_total // 4096)
 
     def strided(b: pa.Table) -> pa.Table:
@@ -1494,9 +1517,11 @@ def q_bloom_semi_join(sf_dir: str):
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     merged = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
-    for part in orders.map_batches(
+    parts_df = orders.map_batches(
         bitmap_partial, batch_format="pyarrow"
-    ).to_pandas()["bits"]:
+    ).to_pandas()
+    # empty input yields ZERO batches -> column-less frame from Ray
+    for part in (parts_df["bits"] if not parts_df.empty else ()):
         merged |= np.frombuffer(part, dtype=np.uint64)
     bloom_ref = ray.put(merged)
 

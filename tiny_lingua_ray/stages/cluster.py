@@ -94,7 +94,19 @@ def connected_components(
     # both propagation directions as (dst-sharded) rows, reused every round
     sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
 
-    if sym.count() <= 2 * driver_max_edges:  # sym holds both directions
+    n_sym = sym.count()
+    if n_sym == 0:  # no edges: empty typed labels (column-less otherwise)
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if n_sym <= 2 * driver_max_edges:  # sym holds both directions
         import ray.data
 
         t = sym.select_columns(["src", "dst"]).to_pandas()

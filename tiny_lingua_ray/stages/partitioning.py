@@ -111,6 +111,10 @@ def key_shares(ds, key: str) -> pd.DataFrame:
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    if counts.empty:  # empty input: column-less frame from Ray
+        import pandas as pd
+
+        counts = pd.DataFrame({key: [], "n": []})
     total = int(counts["n"].sum())
     counts["share"] = counts["n"] / max(total, 1)
     return counts.sort_values("share", ascending=False, ignore_index=True)
