@@ -161,6 +161,23 @@ def test_queries_survive_empty_input(ray_session, tmp_path):
         "star_join_region_stats", "tfidf_top_terms", "lang_word_top5",
         "incremental_dedup", "repetition_signals", "source_stats",
         "lang_balanced_sample", "pack_sequences",
+        # the remaining non-model, non-media surface
+        "knn_cosine", "embedding_label_stats", "cosine_near_dup",
+        "range_join_size_buckets", "substring_filter",
+        "json_extract_stats", "pivot_event_counts", "group_percentiles",
+        "order_lineitem_band_join", "asof_event_order",
+        "semi_join_big_spenders", "rolling_7d_value",
+        "percentiles_chars", "full_outer_user_days", "corr_qty_price",
+        "ntile_quartiles", "intersect_users", "unpivot_event_counts",
+        "left_join_customer_orders", "value_stats", "dedup_clusters",
+        "lineitem_pricing", "filter_project_part",
+        "join_orders_customers", "topk_orders",
+        "distinct_users_per_event", "events_daily", "doc_stats",
+        "clean_text", "token_counts", "mean_word_len", "pii_scrub",
+        "quality_flags", "corpus_prep", "simhash", "knn_cosine_ivf",
+        "kmeans_clusters", "knn_cosine_pq", "approx_distinct_users",
+        "approx_heavy_hitters", "compression_ratio",
+        "approx_quantiles_chars",
     )
     import pandas as pd
 

@@ -652,6 +652,8 @@ def q_approx_quantiles_chars(sf_dir: str):
     mm = docs.aggregate(
         Min("n_chars", alias_name="lo"), Max("n_chars", alias_name="hi")
     )
+    if mm["lo"] is None:  # empty corpus: no quantiles
+        return pd.DataFrame({"quantile": [], "estimate": []})
     lo, hi = int(mm["lo"]), int(mm["hi"])
     width = max((hi - lo) / B, 1e-9)
 

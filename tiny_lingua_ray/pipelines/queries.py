@@ -129,6 +129,11 @@ def q_lineitem_pricing(sf_dir: str):
         )
         .to_pandas()
     )
+    if out.empty:  # empty input: column-less frame from Ray
+        out = pd.DataFrame(
+            {"l_returnflag": [], "l_linestatus": [], "sum_qty": [],
+             "sum_price": [], "sum_disc": [], "n_rows": []}
+        )
     out["sum_qty"] = _rha(out["sum_qty"], 2)
     out["sum_price"] = _rha(out["sum_price"], 2)
     out["avg_disc"] = _rha(out["sum_disc"] / out["n_rows"], 6)
@@ -153,6 +158,8 @@ def q_join_orders_customers(sf_dir: str):
     import ray
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    if cust.empty:  # empty input: column-less frame from Ray
+        cust = pd.DataFrame({"c_custkey": [], "c_mktsegment": []})
     lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
     def join_partial(batch: pa.Table) -> pa.Table:
@@ -177,6 +184,10 @@ def q_join_orders_customers(sf_dir: str):
         )
         .to_pandas()
     )
+    if out.empty:  # empty input: column-less frame from Ray
+        out = pd.DataFrame(
+            {"c_mktsegment": [], "n_orders": [], "sum_total": []}
+        )
     out["sum_total"] = _rha(out["sum_total"], 2)
     return out
 
@@ -193,6 +204,8 @@ def q_topk_orders(sf_dir: str):
     partials = ds.map_batches(
         partial, batch_format="pyarrow", batch_size=65536
     ).to_pandas()
+    if partials.empty:  # empty input: column-less frame from Ray
+        partials = pd.DataFrame({"o_orderkey": [], "o_totalprice": []})
     return partials.nlargest(10, ["o_totalprice", "o_orderkey"]).reset_index(
         drop=True
     )
@@ -299,6 +312,11 @@ def q_events_daily(sf_dir: str):
         )
         .to_pandas()
     )
+    if out.empty:  # empty input: column-less frame from Ray
+        out = pd.DataFrame(
+            {"event_type": [], "day": [], "n_events": [],
+             "sum_value": []}
+        )
     out["sum_value"] = _rha(out["sum_value"], 6)
     return out
 
@@ -319,6 +337,8 @@ def q_doc_stats(sf_dir: str):
         )
         .to_pandas()
     )
+    if out.empty:  # empty input: column-less frame from Ray
+        out = pd.DataFrame({"lang": [], "n_docs": [], "sum_chars": []})
     out["avg_chars"] = _rha(out["sum_chars"] / out["n_docs"], 6)
     return out
 
@@ -1028,6 +1048,10 @@ def q_kmeans_clusters(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = kmeans_assign(ds, n_clusters=8).to_pandas()
+    if out.empty:  # empty input: column-less frame from Ray
+        out = pd.DataFrame(
+            {"vec_id": [], "cluster": [], "cosine_to_centroid": []}
+        ).astype({"vec_id": np.int64, "cluster": np.int64})
     out["cosine_to_centroid"] = out["cosine_to_centroid"].round(6)
     return out.sort_values("vec_id", ignore_index=True)
 
@@ -1099,6 +1123,8 @@ def q_embedding_label_stats(sf_dir: str):
         )
         .to_pandas()
     )
+    if out.empty:  # empty input: column-less frame from Ray
+        out = pd.DataFrame({"label": [], "n_vecs": [], "sum_norm": []})
     out["avg_norm"] = _rha(out["sum_norm"] / out["n_vecs"], 4)
     return out[["label", "n_vecs", "avg_norm"]]
 

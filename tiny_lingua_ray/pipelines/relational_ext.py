@@ -265,7 +265,11 @@ def q_semi_join_big_spenders(sf_dir: str):
         .map_batches(key_partial, batch_format="pyarrow")
         .to_pandas()
     )
-    key_arr = np.unique(keys_ds["k"].to_numpy())
+    key_arr = (
+        np.unique(keys_ds["k"].to_numpy())
+        if not keys_ds.empty  # empty input: column-less frame from Ray
+        else np.array([], dtype=np.int64)
+    )
     keys_ref = ray.put(key_arr)
 
     empty = pa.table(
@@ -411,6 +415,8 @@ def q_rolling_7d_value(sf_dir: str):
         .aggregate(Sum("v", alias_name="v"))
         .to_pandas()
     )
+    if daily.empty:  # empty input: column-less frame from Ray
+        return pd.DataFrame({"event_type": [], "day": [], "v7": []})
     daily["v"] = _rha(daily["v"], 6)
     daily = daily.sort_values(["event_type", "day"])
 
@@ -454,8 +460,10 @@ def q_percentiles_chars(sf_dir: str):
         .groupby("n_chars")
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
-        .sort_values("n_chars")
     )
+    if hist.empty:  # empty input: column-less frame from Ray
+        return pd.DataFrame({"p50": [], "p90": [], "p99": []})
+    hist = hist.sort_values("n_chars")
     vals = hist["n_chars"].to_numpy()
     cum = hist["cnt"].to_numpy().cumsum()
     n = int(cum[-1])
@@ -624,8 +632,10 @@ def q_group_percentiles(sf_dir: str):
         .groupby(["lang", "n_chars"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
-        .sort_values(["lang", "n_chars"])
     )
+    if hist.empty:  # empty input: column-less frame from Ray
+        hist = pd.DataFrame({"lang": [], "n_chars": [], "cnt": []})
+    hist = hist.sort_values(["lang", "n_chars"])
     rows = []
     for lang, g in hist.groupby("lang"):
         vals = g["n_chars"].to_numpy()
@@ -1268,6 +1278,10 @@ def q_corr_qty_price(sf_dir: str):
         )
         .to_pandas()
     )
+    if out.empty:  # empty input: column-less frame from Ray
+        return pd.DataFrame(
+            {"l_returnflag": [], "n": [], "corr_qty_price": []}
+        ).astype({"n": np.int64})
     n = out["n"].to_numpy(np.float64)
     cov = out["sxy"] - out["sx"] * out["sy"] / n
     vx = out["sxx"] - out["sx"] ** 2 / n
@@ -1441,6 +1455,11 @@ def q_value_stats(sf_dir: str):
         )
         .to_pandas()
     )
+    if out.empty:  # empty input: column-less frame from Ray
+        return pd.DataFrame(
+            {"event_type": [], "n": [], "mean_value": [],
+             "stddev_value": [], "var_value": []}
+        ).astype({"n": np.int64})
     n = out["n"].to_numpy(np.float64)
     s = out["s"].to_numpy(np.float64)
     s2 = out["s2"].to_numpy(np.float64)

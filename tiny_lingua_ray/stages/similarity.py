@@ -27,7 +27,12 @@ def _pick_queries(ds, query_ids, id_column: str):
         ids = _ids(batch, id_column)
         return batch.filter(pa.array(np.isin(ids, qset)))
 
-    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    if out.empty:  # empty input: column-less frame from Ray
+        import pandas as pd
+
+        out = pd.DataFrame({name: [] for name in ds.schema().names})
+    return out
 
 
 def _ids(batch: pa.Table, name: str) -> np.ndarray:
@@ -93,7 +98,12 @@ def _hash_sample(ds, id_column: str, sample_size: int):
     returned whole (so small/test scales behave exactly as before)."""
     total = ds.count()  # metadata-only on a parquet read
     if total <= sample_size:
-        return ds.to_pandas()
+        out = ds.to_pandas()
+        if out.empty:  # empty input: column-less frame from Ray
+            import pandas as pd
+
+            out = pd.DataFrame({name: [] for name in ds.schema().names})
+        return out
     frac = min(1.0, 2.0 * sample_size / total)  # 2x target for the cut
     thr = np.uint64(min(2**64 - 1, int(frac * 2.0**64)))
 
@@ -199,6 +209,13 @@ def knn_brute_force(ds, query_ids, k: int = 5, id_column: str = "vec_id",
     ).to_pandas()
 
     # global reduce: top-k per query (partials are k * n_batches rows)
+    if partials.empty:  # empty input: column-less frame from Ray
+        return pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+        ).astype(
+            {"query_id": np.int64, "neighbor_id": np.int64,
+             "rank": np.int64}
+        )
     out = []
     for qid, g in partials.groupby("query_id"):
         top = heapq.nlargest(k, g.itertuples(index=False),
@@ -296,6 +313,13 @@ def knn_ivf(ds, query_ids, k: int = 5, n_cells: int = 16, n_probe: int = 4,
     import pandas as pd
 
     qtab = _pick_queries(ds, query_ids, id_column)
+    if qtab.empty:  # empty input: no queries, nothing to search
+        return pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+        ).astype(
+            {"query_id": np.int64, "neighbor_id": np.int64,
+             "rank": np.int64}
+        )
     Q = _normalize(np.asarray(qtab[vec_column].tolist(), dtype=np.float64))
 
     # bounded training sample (driver holds <= sample_size rows)
@@ -452,6 +476,13 @@ def knn_pq(ds, query_ids, k: int = 5, m_subspaces: int = 8,
     import pandas as pd
 
     qtab = _pick_queries(ds, query_ids, id_column)
+    if qtab.empty:  # empty input: no queries, nothing to search
+        return pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+        ).astype(
+            {"query_id": np.int64, "neighbor_id": np.int64,
+             "rank": np.int64}
+        )
     Q = _normalize(np.asarray(qtab[vec_column].tolist(), dtype=np.float64))
 
     sample = _hash_sample(ds, id_column, sample_size)
@@ -717,6 +748,16 @@ def kmeans_assign(ds, n_clusters: int = 8, sample_size: int = 4096,
     driver and the assign stage is one matmul per batch with zero
     shuffles.  Returns (id, cluster, cosine_to_centroid) per row."""
     sample = _hash_sample(ds, id_column, sample_size)
+    if sample.empty:  # empty input: typed empty assignment
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {id_column: pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64()),
+                 "cosine_to_centroid": pa.array([], pa.float64())}
+            )
+        )
     C = _spherical_kmeans(
         np.asarray(sample[vec_column].tolist(), dtype=np.float64), n_clusters,
         n_iter=n_iter,

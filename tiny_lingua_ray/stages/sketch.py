@@ -138,6 +138,8 @@ def approx_distinct_by_group(
         .map_groups(max_in_shard, batch_format="pandas")
         .to_pandas()  # <= groups x 2^p rows, pre-reduced
     )
+    if merged.empty:  # empty input: column-less frame from Ray
+        merged = pd.DataFrame({"g": [], "idx": [], "reg": []})
     rows = []
     for g, sub in merged.groupby("g"):
         regs = np.zeros(1 << p, dtype=np.uint8)
@@ -297,6 +299,10 @@ def approx_heavy_hitters(
         .map_groups(merge_shard, batch_format="pandas")
         .to_pandas()  # <= depth*width cells + blocks*cand_per_block words
     )
+    if merged.empty:  # empty input: column-less frame from Ray
+        merged = pd.DataFrame(
+            {"kind": [], "cell": [], "count": [], "word": []}
+        ).astype({"kind": np.int8, "cell": np.int64, "count": np.int64})
     cms = np.zeros(D * W, dtype=np.int64)
     cms_rows = merged[merged["kind"] == 0]
     cms[cms_rows["cell"].to_numpy()] = cms_rows["count"].to_numpy()
