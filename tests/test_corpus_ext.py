@@ -41,7 +41,8 @@ def ddb():
      "tokenize_docs", "generic_right_join", "search_docs",
      "pmi_top20", "window_dedup", "search_bm25", "weighted_sample",
      "inverted_index", "chunk_overlap", "dsir_weights",
-     "dsir_select", "decontaminate_ngram", "temperature_mixture"],
+     "dsir_select", "decontaminate_ngram", "temperature_mixture",
+     "pii_audit"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES
@@ -526,3 +527,42 @@ def test_temperature_mixture_rebalances_skew(ray_session, tmp_path):
     # share (0.90) — the rebalancing the operator exists for
     share = n_sel / len(out)
     assert share["big"] < 0.85
+
+
+def test_pii_audit_planted(ray_session, tmp_path):
+    """Planted PII of every audited type is counted independently over
+    the ORIGINAL text (unlike pii_scrub's sequential replacement)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiny_lingua_ray.pipelines.queries import QUERIES
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail a@b.com and c@d.org ip 10.0.0.1 ssn 123-45-6789 "
+                "card 1234-5678-9012-3456 phone 555-123-4567 you idiot",
+                "clean text only",
+                None,
+            ],
+            "lang": ["en"] * 3,
+            "source": ["x"] * 3,
+            "n_chars": [100, 15, 0],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet")
+    )
+    out = (
+        QUERIES["pii_audit"](str(tmp_path)).to_pandas().set_index("doc_id")
+    )
+    r = out.loc[0]
+    assert (
+        r["n_email"], r["n_ip"], r["n_ssn"], r["n_card"], r["n_phone"],
+        r["n_tox"],
+    ) == (2, 1, 1, 1, 1, 1)
+    assert bool(r["has_pii"])
+    assert not bool(out.loc[1, "has_pii"]) and out.loc[1, "n_tox"] == 0
+    assert not bool(out.loc[2, "has_pii"])

@@ -177,7 +177,7 @@ def test_queries_survive_empty_input(ray_session, tmp_path):
         "quality_flags", "corpus_prep", "simhash", "knn_cosine_ivf",
         "kmeans_clusters", "knn_cosine_pq", "approx_distinct_users",
         "approx_heavy_hitters", "compression_ratio",
-        "approx_quantiles_chars",
+        "approx_quantiles_chars", "pii_audit",
     )
     import pandas as pd
 

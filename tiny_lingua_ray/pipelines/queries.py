@@ -485,6 +485,83 @@ def q_pii_scrub(sf_dir: str):
     )
 
 
+def q_pii_audit(sf_dir: str):
+    """Per-document PII audit: independent per-type match counts over
+    the ORIGINAL text (what a privacy report tabulates — q_pii_scrub's
+    sequential replacement is the remediation view).  Counts reuse the
+    scrub stage's RE2-compatible pattern table, and the SQL oracle is
+    GENERATED from the same table (single source of truth: the two
+    sides cannot drift).  One stateless map, no shuffle."""
+    import re
+
+    from tiny_lingua_ray.stages.scrub import (
+        PII_PATTERNS,
+        TOXICITY_WORDS,
+    )
+
+    pats = [
+        (tok.strip("<>").lower(), re.compile(p, re.ASCII))
+        for tok, p in PII_PATTERNS
+    ]
+    tox = re.compile(
+        r"\b(?:" + "|".join(re.escape(w) for w in TOXICITY_WORDS) + r")\b",
+        re.IGNORECASE | re.ASCII,
+    )
+
+    def audit(b: pa.Table) -> pa.Table:
+        texts = [t or "" for t in b.column("text").to_pylist()]
+        cols = {"doc_id": b.column("doc_id")}
+        total = np.zeros(len(texts), dtype=np.int64)
+        for name, cre in pats:
+            n = np.fromiter(
+                (len(cre.findall(t)) for t in texts),
+                dtype=np.int64,
+                count=len(texts),
+            )
+            total += n
+            cols[f"n_{name}"] = pa.array(n)
+        cols["n_tox"] = pa.array(
+            np.fromiter(
+                (len(tox.findall(t)) for t in texts),
+                dtype=np.int64,
+                count=len(texts),
+            )
+        )
+        cols["has_pii"] = pa.array(total > 0)
+        return pa.table(cols)
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        audit, batch_format="pyarrow"
+    )
+
+
+def _pii_audit_oracle() -> str:
+    """Generated from scrub.PII_PATTERNS so engine and oracle share one
+    pattern table."""
+    from tiny_lingua_ray.stages.scrub import PII_PATTERNS, TOXICITY_WORDS
+
+    cnt_cols = ",\n               ".join(
+        "len(regexp_extract_all(COALESCE(text, ''), '{p}')) AS n_{n}".format(
+            p=p.replace("'", "''"), n=tok.strip("<>").lower()
+        )
+        for tok, p in PII_PATTERNS
+    )
+    tox_pat = r"(?i)\b(?:" + "|".join(TOXICITY_WORDS) + r")\b"
+    names = [tok.strip("<>").lower() for tok, _ in PII_PATTERNS]
+    total = " + ".join(f"n_{n}" for n in names)
+    return f"""
+        WITH a AS (
+          SELECT doc_id,
+               {cnt_cols},
+               len(regexp_extract_all(COALESCE(text, ''), '{tox_pat}'))
+                 AS n_tox
+          FROM documents)
+        SELECT doc_id, {', '.join('n_' + n for n in names)}, n_tox,
+               ({total}) > 0 AS has_pii
+        FROM a
+    """
+
+
 # ---------------------------------------------------------------------------
 # Model-based (rows-only checks; no SQL oracle)
 # ---------------------------------------------------------------------------
@@ -3675,6 +3752,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "mean_word_len": q_mean_word_len,
     "pii_scrub": q_pii_scrub,
+    "pii_audit": q_pii_audit,
     "langid": q_langid,
     "perplexity": q_perplexity,
     "ccnet_buckets": q_ccnet_buckets,
@@ -4005,6 +4083,7 @@ def _quality_flags_oracle() -> str:
 
 
 ORACLE["quality_flags"] = _quality_flags_oracle()
+ORACLE["pii_audit"] = _pii_audit_oracle()
 
 
 def _corpus_prep_oracle() -> str:
