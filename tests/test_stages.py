@@ -223,13 +223,23 @@ def test_multiformat_sources_identical(ray_session, tmp_path):
             .sort_values("doc_id", ignore_index=True)
         )
         assert got.equals(base), fmt
-    # gzip content sanity: the jsonl.gz files are actually compressed
+    # gzip content sanity: the jsonl.gz files are actually compressed,
+    # named so format inference reads the sink's own output back
     import gzip
     import pathlib
 
+    import pytest
+
     f = next(pathlib.Path(tmp_path / "jsonl_gz").iterdir())
+    assert f.name.endswith(".jsonl.gz")
     with gzip.open(f, "rt") as fh:
         assert '"doc_id"' in fh.readline()
+    one = read_documents(str(f)).to_pandas()  # fmt inferred from name
+    assert len(one) > 0
+    # bare .gz of unknown inner format is rejected loudly, not fed to
+    # the JSON reader
+    with pytest.raises(ValueError, match="gzipped non-JSONL"):
+        read_documents("/tmp/whatever.csv.gz")
 
 
 def test_multiformat_missing_column_fails_loudly(ray_session, tmp_path):

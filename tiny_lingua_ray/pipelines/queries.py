@@ -492,21 +492,12 @@ def q_pii_audit(sf_dir: str):
     scrub stage's RE2-compatible pattern table, and the SQL oracle is
     GENERATED from the same table (single source of truth: the two
     sides cannot drift).  One stateless map, no shuffle."""
-    import re
+    from tiny_lingua_ray.stages.scrub import _COMPILED_PII, _TOX_RE
 
-    from tiny_lingua_ray.stages.scrub import (
-        PII_PATTERNS,
-        TOXICITY_WORDS,
-    )
-
-    pats = [
-        (tok.strip("<>").lower(), re.compile(p, re.ASCII))
-        for tok, p in PII_PATTERNS
-    ]
-    tox = re.compile(
-        r"\b(?:" + "|".join(re.escape(w) for w in TOXICITY_WORDS) + r")\b",
-        re.IGNORECASE | re.ASCII,
-    )
+    # reuse scrub.py's module-level compiled patterns (one compile site,
+    # one set of flags — the same single-source rule as the oracle)
+    pats = [(tok.strip("<>").lower(), cre) for tok, cre in _COMPILED_PII]
+    tox = _TOX_RE
 
     def audit(b: pa.Table) -> pa.Table:
         texts = [t or "" for t in b.column("text").to_pylist()]
@@ -538,6 +529,8 @@ def q_pii_audit(sf_dir: str):
 def _pii_audit_oracle() -> str:
     """Generated from scrub.PII_PATTERNS so engine and oracle share one
     pattern table."""
+    import re
+
     from tiny_lingua_ray.stages.scrub import PII_PATTERNS, TOXICITY_WORDS
 
     cnt_cols = ",\n               ".join(
@@ -546,7 +539,13 @@ def _pii_audit_oracle() -> str:
         )
         for tok, p in PII_PATTERNS
     )
-    tox_pat = r"(?i)\b(?:" + "|".join(TOXICITY_WORDS) + r")\b"
+    # re.escape + SQL-quote escaping, matching the engine's literal-word
+    # semantics even if a lexicon entry gains a metachar or apostrophe
+    tox_pat = (
+        r"(?i)\b(?:"
+        + "|".join(re.escape(w).replace("'", "''") for w in TOXICITY_WORDS)
+        + r")\b"
+    )
     names = [tok.strip("<>").lower() for tok, _ in PII_PATTERNS]
     total = " + ".join(f"n_{n}" for n in names)
     return f"""

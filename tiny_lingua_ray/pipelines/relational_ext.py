@@ -1128,6 +1128,8 @@ def q_star_join_region_stats(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
         .to_pandas()
     )
+    if out.empty:  # empty FACT side: column-less frame from Ray
+        out = pd.DataFrame({"r_name": [], "n": [], "s": []})
     return pd.DataFrame(
         {
             "r_name": out["r_name"],

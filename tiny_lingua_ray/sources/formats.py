@@ -69,10 +69,16 @@ def read_documents(path: str, fmt: str | None = None,
         name = Path(path).name.lower()
         if name.endswith((".jsonl.gz", ".json.gz")):
             fmt = "jsonl.gz"
+        elif name.endswith(".gz"):
+            # a bare .gz (csv.gz, txt.gz) fed to the JSON reader would
+            # fail with an opaque Arrow parse error — reject clearly
+            raise ValueError(
+                f"cannot infer format of gzipped non-JSONL file {path!r};"
+                " pass fmt= explicitly"
+            )
         else:
             suffix = Path(path).suffix.lstrip(".").lower() or "parquet"
             fmt = {"json": "jsonl", "jsonl": "jsonl", "csv": "csv",
-                   "gz": "jsonl.gz",
                    "parquet": "parquet"}.get(suffix, "parquet")
     if fmt == "parquet":
         want = ([f.name for f in schema] if columns is None else columns)
@@ -110,8 +116,24 @@ def write_documents(ds, out_dir: str, fmt: str = "parquet"):
     elif fmt == "jsonl":
         ds.write_json(out_dir)
     elif fmt == "jsonl.gz":
+        from ray.data.datasource import FilenameProvider
+
+        class _GzNames(FilenameProvider):
+            # Ray's default names end in .json; the bytes are gzip, so
+            # name them .jsonl.gz or the format inference above would
+            # misread the sink's own output on round-trip
+            def get_filename_for_block(
+                self, block, write_uuid, task_index, block_index
+            ):
+                return (
+                    f"{write_uuid}_{task_index:06}_{block_index:06}"
+                    ".jsonl.gz"
+                )
+
         ds.write_json(
-            out_dir, arrow_open_stream_args={"compression": "gzip"}
+            out_dir,
+            arrow_open_stream_args={"compression": "gzip"},
+            filename_provider=_GzNames(),
         )
     else:
         raise ValueError(f"unsupported format {fmt!r}")
