@@ -190,3 +190,45 @@ def test_queries_survive_empty_input(ray_session, tmp_path):
             assert n == 1 and int(r["n_signup"].iloc[0]) == 0, (k, n)
         else:
             assert n == 0, (k, n)
+
+
+@pytest.mark.parametrize(
+    "key,empty_tables",
+    [
+        ("star_join_region_stats", ("customer",)),      # fact empty
+        ("star_join_region_stats", ("nation", "region")),  # dims empty
+        ("join_orders_customers", ("orders",)),
+        ("join_orders_customers", ("customer",)),
+        ("semi_join_big_spenders", ("orders",)),
+        ("semi_join_big_spenders", ("events",)),
+        ("bloom_semi_join", ("orders",)),
+        ("anti_join_inactive_customers", ("orders",)),
+        ("left_join_customer_orders", ("orders",)),
+        ("full_outer_user_days", ("events",)),
+        ("order_lineitem_band_join", ("lineitem",)),
+        ("decontaminate", ("documents",)),
+    ],
+)
+def test_queries_survive_mixed_empty(ray_session, tmp_path, key, empty_tables):
+    """MIXED-empty inputs (one side of a join empty, the other real):
+    the all-empty gate above cannot catch a guard that only checks one
+    side — found on star_join_region_stats in the round-4 review."""
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_mixed"
+    d.mkdir()
+    for t in ("documents", "events", "orders", "customer", "lineitem",
+              "part", "embeddings", "region", "nation", "supplier"):
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        if t in empty_tables:
+            tbl = tbl.slice(0, 0)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+
+    import pandas as pd
+
+    from tiny_lingua_ray.pipelines.queries import QUERIES
+
+    r = QUERIES[key](str(d))
+    n = len(r) if isinstance(r, pd.DataFrame) else r.count()
+    assert n >= 0  # completing without crashing is the contract here
