@@ -327,6 +327,40 @@ def test_window_dedup_planted_copies(ray_session, tmp_path):
     assert not out.loc[3, "is_dup"] and out.loc[3, "n_dup"] == 0
 
 
+def test_window_dedup_payload_modes_agree(ray_session):
+    """The default hash128 payload (16 B/window through the exchange)
+    must produce byte-identical per-doc flags to the exact string mode
+    — equality-of-md5 == equality-of-string at any testable scale."""
+    from tiny_lingua_ray.pipelines.corpus_ext import q_window_dedup
+
+    hashed = to_pandas(q_window_dedup(SF_DIR)).sort_values("doc_id")
+    exact = to_pandas(
+        q_window_dedup(SF_DIR, payload="strings")
+    ).sort_values("doc_id")
+    assert canonical_hash(hashed) == canonical_hash(exact)
+
+
+def test_stable_round_sql_matches_round_half_away(ddb):
+    """The oracle ROUND rewrite (queries._stable_round_sql) must agree
+    with tableutil.round_half_away on boundary values in BOTH signs and
+    leave non-literal digit args untouched."""
+    from tiny_lingua_ray.pipelines.queries import _stable_round_sql
+    from tiny_lingua_ray.tableutil import round_half_away
+
+    sql = _stable_round_sql("SELECT ROUND(x, 2) AS r FROM vals")
+    assert "ROUND" not in sql.upper().replace("FLOOR", "")
+    vals = [0.125, -0.125, 2.675, -2.675, 0.0, 1.005, -1.005, 12.345]
+    got = duckdb.sql(
+        sql.replace("FROM vals", "FROM (SELECT UNNEST(?) AS x)"),
+        params=[vals],
+    ).df()["r"].to_numpy()
+    want = round_half_away(np.array(vals), 2)
+    assert np.array_equal(got, want), (got, want)
+    # non-literal digit count stays as written
+    keep = "SELECT ROUND(x, n) FROM t"
+    assert _stable_round_sql(keep) == keep
+
+
 def test_dsir_weights_prefer_target_language(ray_session, ddb):
     """DSIR's defining property: documents drawn from the TARGET
     distribution (lang='en' here) must score higher on average than the

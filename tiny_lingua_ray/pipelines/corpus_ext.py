@@ -820,13 +820,13 @@ def q_lang_word_top5(sf_dir: str):
 _WIN_W, _WIN_S = 15, 5          # window width / stride (words)
 
 
-def q_window_dedup(sf_dir: str):
+def q_window_dedup(sf_dir: str, payload: str = "hash128"):
     """Exact overlapping-WINDOW substring dedup (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better",
     arXiv:2107.06499 — the ExactSubstr family, word-granular): every
     ``_WIN_W``-word window at stride ``_WIN_S`` is hash-routed to ONE
-    shard; a window is a duplicate iff an earlier packed (doc_id, wno)
-    key holds the same window string (global first-occurrence, the
+    shard; a window is a duplicate iff an earlier (doc_id, wno)
+    key holds the same window (global first-occurrence, the
     repo's standard keep-first rule — catches cross-doc boilerplate AND
     in-doc self-repetition).  The stride grid is the documented
     approximation of suffix-array ExactSubstr: a shared run is caught
@@ -838,15 +838,27 @@ def q_window_dedup(sf_dir: str):
     integer comparison, no float crosses the hash.  Docs shorter than
     one window are excluded (matched by the oracle's len filter).
 
+    Payload modes (VERDICT r4 item 3): the default ``hash128`` routes
+    and first-occurrence-compares a 128-bit md5 of each window — 16 B
+    per window through the exchange instead of the ~90 B window string
+    (W=15 words), i.e. the all-to-all carries ~0.35× the corpus text
+    volume rather than ~3×; equality-of-md5 == equality-of-string up to
+    a 2^-128-per-pair collision (≈1.5e-15 aggregate at 10^12 windows —
+    the same trust contract as CCNet's SHA1 paragraph dedup).
+    ``payload="strings"`` ships and compares the window strings
+    themselves — the exact-semantics oracle mode, byte-faithful to the
+    SQL oracle's ``PARTITION BY win``.
+
     Scale shape: stateless chunker -> ONE window-hash exchange
-    (size-derived fan-out; groups hold (window string, packed key) rows)
+    (size-derived fan-out; groups hold 16 B hash + packed key rows)
     -> per-doc count merge on a doc-hash exchange.  Two exchanges total,
     no driver materialization."""
-    from tiny_lingua_ray.models.train import fnv1a_64_batch
+    import hashlib
 
     W, S = _WIN_W, _WIN_S
     P = _shards_for_table(sf_dir, "documents")
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = payload == "hash128"
 
     def windows(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_pylist()
@@ -860,13 +872,28 @@ def q_window_dedup(sf_dir: str):
                 did.append(i)
                 wno.append(k)
                 win.append(" ".join(ws[j:j + W]))
-        h = fnv1a_64_batch(win)
+        if hashed:
+            dig = b"".join(
+                hashlib.md5(w.encode("utf-8", "surrogatepass")).digest()
+                for w in win
+            )
+            h128 = np.frombuffer(dig, dtype=np.uint64).reshape(-1, 2)
+            cols = {
+                "h_hi": pa.array(h128[:, 0].view(np.int64)),
+                "h_lo": pa.array(h128[:, 1].view(np.int64)),
+            }
+            shard = (h128[:, 1] % np.uint64(P)).astype(np.int64)
+        else:
+            from tiny_lingua_ray.models.train import fnv1a_64_batch
+
+            cols = {"win": pa.array(win, pa.string())}
+            shard = (fnv1a_64_batch(win) % np.uint64(P)).astype(np.int64)
         return pa.table(
             {
-                "shard": pa.array((h % np.uint64(P)).astype(np.int64)),
+                "shard": pa.array(shard),
                 "doc_id": pa.array(did, pa.int64()),
                 "wno": pa.array(wno, pa.int64()),
-                "win": pa.array(win, pa.string()),
+                **cols,
             }
         )
 
@@ -877,15 +904,16 @@ def q_window_dedup(sf_dir: str):
             "dup": pa.array([], pa.int64()),
         }
     )
+    key_cols = ["h_hi", "h_lo"] if hashed else ["win"]
 
     def flag_in_shard(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
             return empty_flags
-        # first occurrence by (win, doc_id, wno) TUPLE order — no
+        # first occurrence by (key, doc_id, wno) TUPLE order — no
         # packed integer key, so no window-count ceiling per doc
-        # (group by the window STRING; the hash only routes)
-        d = df.sort_values(["win", "doc_id", "wno"])
-        dup = d["win"].duplicated().to_numpy().astype(np.int64)
+        # (the shard hash only routes; the key columns decide equality)
+        d = df.sort_values(key_cols + ["doc_id", "wno"])
+        dup = d.duplicated(key_cols).to_numpy().astype(np.int64)
         doc = d["doc_id"].to_numpy()
         return pa.table(
             {

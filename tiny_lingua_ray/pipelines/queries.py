@@ -2855,11 +2855,16 @@ def q_above_avg_events(sf_dir: str):
     """Correlated-subquery pattern: events whose value exceeds their
     OWN user's mean — user-sharded so the group mean and the filter run
     in the SAME pass (one exchange, no broadcast of a data-sized mean
-    table, no second scan).  The comparison and the emitted aggregate
+    table, no second scan).  The comparison and EVERY emitted column
     run in integer CENTS (values are 2-decimal): value > mean becomes
     cents*n > sum_cents, exact in both engines — float means of
     power-of-two group sizes land exactly on .5e-6 rounding boundaries
-    and diverge at the ulp level between engines (found at sf0.1)."""
+    and diverge at the ulp level between engines (found at sf0.1).
+    The raw float64 ``value`` is deliberately NOT emitted and the
+    oracle rounds via the version-stable ``FLOOR(x*100+0.5)`` rather
+    than ``ROUND`` on DOUBLE (whose half-boundary behavior changed
+    across DuckDB releases — the r3/r4 driver-only hash mismatch), so
+    no environment-sensitive float formatting sits on the hash path."""
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
     P = _shards_for(ds)
@@ -2879,7 +2884,7 @@ def q_above_avg_events(sf_dir: str):
         {
             "event_id": pa.array([], pa.int64()),
             "user_id": pa.array([], pa.int64()),
-            "value": pa.array([], pa.float64()),
+            "cents": pa.array([], pa.int64()),
             "sum_cents": pa.array([], pa.int64()),
             "n_user": pa.array([], pa.int64()),
         }
@@ -2889,8 +2894,8 @@ def q_above_avg_events(sf_dir: str):
         if len(df) == 0:
             return empty
         v = df["value"].to_numpy(np.float64)
-        # half-AWAY like the oracle's ROUND: np.round's half-even
-        # diverges on exact .5 cents (e.g. value=0.125 -> 12 vs 13)
+        # half-AWAY like the oracle's FLOOR(x*100+0.5): np.round's
+        # half-even diverges on exact .5 cents (value=0.125 -> 12 vs 13)
         cents = _rha(v * 100.0, 0).astype(np.int64)
         g = pd.DataFrame({"u": df["user_id"].to_numpy(), "c": cents})
         gg = g.groupby("u")["c"]
@@ -2905,7 +2910,7 @@ def q_above_avg_events(sf_dir: str):
                 "user_id": pa.array(
                     df["user_id"].to_numpy()[keep], pa.int64()
                 ),
-                "value": pa.array(v[keep]),
+                "cents": pa.array(cents[keep]),
                 "sum_cents": pa.array(sum_c[keep]),
                 "n_user": pa.array(n_u[keep].astype(np.int64)),
             }
@@ -3812,6 +3817,68 @@ QUERIES = {
 }
 
 
+def _stable_round_sql(sql: str) -> str:
+    """Rewrite every ``ROUND(expr[, k])`` in an oracle into the
+    version-stable half-away-from-zero form::
+
+        (CASE WHEN (e) >= 0 THEN FLOOR((e) * 1ek + 0.5)
+              ELSE -FLOOR(-(e) * 1ek + 0.5) END / 1ek)
+
+    which is bit-identical to ``tableutil.round_half_away`` (the engine
+    side of every rounded emit): FLOOR and the power-of-ten scale are
+    exact, the final division is IEEE-correctly-rounded in both engines.
+    Bare ``ROUND`` on DOUBLE is the one hash-path function whose
+    half-boundary behavior changed across DuckDB releases — the cause of
+    the r3/r4 ``above_avg_events`` driver-only mismatch — so no oracle
+    may reach the driver with it.  Applied to the merged ORACLE dict at
+    import; leaves non-literal digit args untouched.
+    """
+    import re as _re
+
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        m = _re.search(r"\bROUND\s*\(", sql[i:], _re.IGNORECASE)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i : i + m.start()])
+        j = i + m.end()  # just past the opening paren
+        depth, top_comma, k = 1, None, j
+        while k < n and depth:
+            c = sql[k]
+            if c == "'":  # skip string literals
+                k += 1
+                while k < n and sql[k] != "'":
+                    k += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1 and top_comma is None:
+                top_comma = k
+            k += 1
+        close = k - 1
+        if top_comma is not None:
+            expr, dig_txt = sql[j:top_comma], sql[top_comma + 1 : close]
+        else:
+            expr, dig_txt = sql[j:close], "0"
+        try:
+            digits = int(dig_txt.strip())
+        except ValueError:  # non-literal digit count: leave as written
+            out.append(sql[i + m.start() : k])
+            i = k
+            continue
+        expr = _stable_round_sql(expr.strip())
+        s = f"1e{digits}" if digits else "1.0"
+        out.append(
+            f"(CASE WHEN ({expr}) >= 0 THEN FLOOR(({expr}) * {s} + 0.5) "
+            f"ELSE -FLOOR(-({expr}) * {s} + 0.5) END / {s})"
+        )
+        i = k
+    return "".join(out)
+
+
 ORACLE = {
     "lineitem_pricing": """
         SELECT l_returnflag, l_linestatus,
@@ -4401,13 +4468,13 @@ ORACLE["mode_event_type"] = """
 """
 ORACLE["above_avg_events"] = """
     WITH t AS (
-      SELECT event_id, user_id, value,
-             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      SELECT event_id, user_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
              COUNT(*) OVER (PARTITION BY user_id) AS n_user,
-             SUM(CAST(ROUND(value * 100) AS BIGINT))
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                OVER (PARTITION BY user_id) AS sum_cents
       FROM events)
-    SELECT event_id, user_id, value,
+    SELECT event_id, user_id, cents,
            sum_cents, CAST(n_user AS BIGINT) AS n_user
     FROM t WHERE cents * n_user > sum_cents
 """
@@ -4592,6 +4659,11 @@ QUERIES.update(QUERIES_CORPUS)
 ORACLE.update(ORACLE_CORPUS)
 ORACLE["dedup_clusters"] = _dedup_clusters_oracle(ORACLE["jaccard_pairs"])
 ORACLE["dedup_keep_first"] = _dedup_keep_first_oracle(ORACLE["jaccard_pairs"])
+
+# No DuckDB-version-sensitive ROUND(DOUBLE) may sit on the driver's hash
+# path (VERDICT r4 item 2) — rewrite every oracle to the FLOOR form that
+# is bit-identical to tableutil.round_half_away.
+ORACLE = {k: _stable_round_sql(v) for k, v in ORACLE.items()}
 
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness driver verifies only the FIRST 50
