@@ -251,6 +251,15 @@ def test_knn_ivf_scale_path(ray_session):
         map(tuple, bf[["query_id", "neighbor_id"]].values)
     )
     assert len(hits) / len(bf) >= 0.6
+    # exact bounded-probe mode: recall == 1.0 GUARANTEED even with a
+    # tiny probe set on adversarially uniform vectors — the spherical
+    # triangle-inequality phase-2 bound must recover every escaped cell
+    ive = knn_ivf(
+        ds, query_ids=[0, 1, 2], k=5, n_cells=8, n_probe=2, exact=True
+    )
+    assert set(map(tuple, ive[["query_id", "neighbor_id"]].values)) == set(
+        map(tuple, bf[["query_id", "neighbor_id"]].values)
+    )
 
 
 def test_cli_query_subcommand(tmp_path):

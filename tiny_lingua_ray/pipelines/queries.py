@@ -1157,20 +1157,23 @@ def q_knn_cosine_pq(sf_dir: str):
 
 
 def q_knn_cosine_ivf(sf_dir: str):
-    """IVF approximate top-k — the scale path beside brute force: coarse
-    quantizer trained on a bounded sample, centroids+queries broadcast
-    once, each query scans only its n_probe nearest cells.  Recall is
-    full at the driver-gate scales (sf0.001/0.01 — the exact SQL oracle
-    matches there) and measured 0.92 at sf0.1: the synthetic embeddings
-    are near-uniform (no cluster structure), the worst case for cell
-    pruning.  That is the documented approximation trade — production
-    at 100 TB runs n_probe << n_cells for a proportional corpus-scan
-    reduction and accepts recall < 1."""
+    """IVF top-k in EXACT bounded-probe mode (recall == 1.0 guaranteed,
+    VERDICT r4 item 4): coarse quantizer trained on a bounded sample,
+    centroids+queries broadcast once, each query scans its n_probe
+    nearest cells; phase 1 piggybacks exact per-cell angular radii on
+    the same scan and a second pass visits ONLY cells whose spherical
+    triangle-inequality bound cos(max(0, angle(q,c_j) - r_j)) beats the
+    phase-1 kth-best cosine.  On clustered data phase 2 touches ~no
+    cells (classic IVF cost); on this synthetic near-uniform worst case
+    it degenerates toward brute force — the honest price of exactness
+    (``exact=False`` keeps the classic recall<1 trade, measured 0.92 at
+    sf0.1 with n_probe=12/16)."""
     from tiny_lingua_ray.stages.similarity import knn_ivf
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = knn_ivf(
-        ds, query_ids=[0, 1, 2, 3, 4], k=5, n_cells=16, n_probe=12
+        ds, query_ids=[0, 1, 2, 3, 4], k=5, n_cells=16, n_probe=12,
+        exact=True,
     )
     out["cosine"] = _rha(out["cosine"], 4)
     return out[["query_id", "neighbor_id", "cosine", "rank"]]
@@ -4679,9 +4682,10 @@ _ORACLED_HEAD = [
     "fingerprint",
     "jaccard_pairs",
     "knn_cosine",
-    # knn_cosine_ivf stays OUT of the hard-hash window: approximate by
-    # design above the gate scales (recall 0.92 at sf0.1, BASELINE.md)
-    "dsir_weights",
+    # restored round 5: exact bounded-probe mode (recall == 1.0
+    # guaranteed at every scale; sf0.1 hash-match re-verified).
+    # dsir_weights rotates out — driver-green in r4, still oracled.
+    "knn_cosine_ivf",
     "embedding_label_stats",
     "cosine_near_dup",
     "anti_join_inactive_customers",

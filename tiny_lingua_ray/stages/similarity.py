@@ -279,8 +279,19 @@ class IVFTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = _ids(batch, self.id_column)
         M = _normalize(_as_matrix(batch.column(self.vec_column)))
-        cells = (M @ self.C.T).argmax(axis=1)
+        sims = M @ self.C.T                     # [rows, cells]
+        cells = sims.argmax(axis=1)
         qcol, ncol, scol = [], [], []
+        # piggybacked per-cell radius partials (VERDICT r4 item 4): one
+        # sentinel row per cell present in this batch carries the batch's
+        # WORST member-to-own-centroid dot (query_id = -1, neighbor_id =
+        # cell) — the driver's min-combine turns these into exact cell
+        # radii for the bound-probe exact mode, at zero extra scans.
+        own = sims[np.arange(len(cells)), cells]
+        for c in np.unique(cells):
+            qcol.append(-1)
+            ncol.append(int(c))
+            scol.append(float(own[cells == c].min()))
         for qi in range(len(self.qids)):
             mask = np.isin(cells, self.probe[qi]) & (ids != self.qids[qi])
             cand = np.nonzero(mask)[0]
@@ -304,12 +315,24 @@ class IVFTopK:
 
 def knn_ivf(ds, query_ids, k: int = 5, n_cells: int = 16, n_probe: int = 4,
             sample_size: int = 4096, id_column: str = "vec_id",
-            vec_column: str = "embedding"):
+            vec_column: str = "embedding", exact: bool = False):
     """IVF approximate top-k cosine search — the scale path next to
     ``knn_brute_force``: train a coarse quantizer on a bounded sample,
     broadcast centroids+queries once, and scan only each query's
     ``n_probe`` nearest cells.  ``n_probe == n_cells`` degenerates to
-    exact brute force (tested)."""
+    exact brute force (tested).
+
+    ``exact=True`` (VERDICT r4 item 4) upgrades the probe to a
+    triangle-inequality-bounded TWO-PHASE search with a recall == 1.0
+    GUARANTEE: phase 1 piggybacks exact per-cell angular radii
+    ``r_j = max angle(x, c_j)`` on the same scan (sentinel rows, zero
+    extra passes); any unprobed cell j can then only contain a
+    better-than-kth neighbor if ``cos(max(0, angle(q, c_j) - r_j))``
+    exceeds the phase-1 kth-best cosine — the spherical triangle
+    inequality ``angle(q, x) >= angle(q, c_j) - angle(x, c_j)``.  Cells
+    passing that bound (usually none on clustered data; all of them on
+    adversarially uniform data, the honest worst case) are scanned in a
+    single phase-2 pass restricted to the escaped cells per query."""
     import pandas as pd
 
     qtab = _pick_queries(ds, query_ids, id_column)
@@ -354,6 +377,52 @@ def knn_ivf(ds, query_ids, k: int = 5, n_cells: int = 16, n_probe: int = 4,
         },
         batch_format="pyarrow",
     ).to_pandas()
+    # split off the piggybacked radius sentinels (query_id == -1)
+    rad = partials[partials["query_id"] == -1]
+    partials = partials[partials["query_id"] != -1]
+
+    if exact:
+        # exact per-cell angular radii from the phase-1 min-combine
+        min_dot = np.full(len(C), np.nan)
+        g = rad.groupby("neighbor_id")["cosine"].min()
+        min_dot[g.index.to_numpy()] = g.to_numpy()
+        r_ang = np.arccos(np.clip(min_dot, -1.0, 1.0))  # NaN = empty cell
+        theta = np.arccos(np.clip(Q @ C.T, -1.0, 1.0))  # [q, cells]
+        bound = np.cos(np.maximum(theta - r_ang[None, :], 0.0))
+        bound[:, np.isnan(min_dot)] = -2.0              # empty cells
+        extra: list[np.ndarray] = []
+        for qi in range(len(Q)):
+            g = partials[partials["query_id"] == qtab[id_column].iloc[qi]]
+            kth = (
+                g["cosine"].nlargest(k).iloc[-1] if len(g) >= k else -2.0
+            )
+            unprobed = np.setdiff1d(np.arange(len(C)), probe[qi])
+            extra.append(
+                unprobed[bound[qi, unprobed] >= kth - 1e-9]
+            )
+        if any(len(e) for e in extra):
+            state2 = dict(state, probe=extra)
+            try:
+                import ray
+
+                sref2 = ray.put(state2) if ray.is_initialized() else None
+            except ImportError:
+                sref2 = None
+            kwargs2 = (
+                {"state_ref": sref2} if sref2 is not None
+                else {"state": state2}
+            )
+            p2 = ds.map_batches(
+                _ivf_batch,
+                fn_kwargs={
+                    **kwargs2, "k": k,
+                    "id_column": id_column, "vec_column": vec_column,
+                },
+                batch_format="pyarrow",
+            ).to_pandas()
+            partials = pd.concat(
+                [partials, p2[p2["query_id"] != -1]], ignore_index=True
+            )
 
     out = []
     for qid, g in partials.groupby("query_id"):
