@@ -489,9 +489,11 @@ def q_pii_audit(sf_dir: str):
     """Per-document PII audit: independent per-type match counts over
     the ORIGINAL text (what a privacy report tabulates — q_pii_scrub's
     sequential replacement is the remediation view).  Counts reuse the
-    scrub stage's RE2-compatible pattern table, and the SQL oracle is
-    GENERATED from the same table (single source of truth: the two
-    sides cannot drift).  One stateless map, no shuffle."""
+    scrub stage's RE2-compatible pattern table; the SQL oracle's
+    regexes are HAND-WRITTEN against the documented PII spec (VERDICT
+    r4 item 7) — deliberately NOT generated from the stage's table, so
+    a wrong pattern edit in scrub.py fails the gate instead of
+    self-validating.  One stateless map, no shuffle."""
     from tiny_lingua_ray.stages.scrub import _COMPILED_PII, _TOX_RE
 
     # reuse scrub.py's module-level compiled patterns (one compile site,
@@ -526,39 +528,35 @@ def q_pii_audit(sf_dir: str):
     )
 
 
-def _pii_audit_oracle() -> str:
-    """Generated from scrub.PII_PATTERNS so engine and oracle share one
-    pattern table."""
-    import re
-
-    from tiny_lingua_ray.stages.scrub import PII_PATTERNS, TOXICITY_WORDS
-
-    cnt_cols = ",\n               ".join(
-        "len(regexp_extract_all(COALESCE(text, ''), '{p}')) AS n_{n}".format(
-            p=p.replace("'", "''"), n=tok.strip("<>").lower()
-        )
-        for tok, p in PII_PATTERNS
-    )
-    # re.escape + SQL-quote escaping, matching the engine's literal-word
-    # semantics even if a lexicon entry gains a metachar or apostrophe
-    tox_pat = (
-        r"(?i)\b(?:"
-        + "|".join(re.escape(w).replace("'", "''") for w in TOXICITY_WORDS)
-        + r")\b"
-    )
-    names = [tok.strip("<>").lower() for tok, _ in PII_PATTERNS]
-    total = " + ".join(f"n_{n}" for n in names)
-    return f"""
-        WITH a AS (
-          SELECT doc_id,
-               {cnt_cols},
-               len(regexp_extract_all(COALESCE(text, ''), '{tox_pat}'))
-                 AS n_tox
-          FROM documents)
-        SELECT doc_id, {', '.join('n_' + n for n in names)}, n_tox,
-               ({total}) > 0 AS has_pii
-        FROM a
-    """
+# HAND-WRITTEN oracle regexes for pii_audit (VERDICT r4 item 7):
+# authored independently against the PII spec documented in
+# stages/scrub.py ("email local@domain.tld; dotted-quad IP; SSN
+# ddd-dd-dddd; 4x4 card with space/dash; phone ddd[-.]ddd[-.]dddd;
+# word-boundary case-insensitive toxicity lexicon"), NOT generated from
+# the stage's pattern table — if scrub.py's table drifts from the spec,
+# this oracle fails instead of self-validating.  RE2 \b and \d are
+# ASCII, matching the engine's re.ASCII compile flags.
+_PII_AUDIT_ORACLE = r"""
+    WITH a AS (
+      SELECT doc_id,
+           len(regexp_extract_all(COALESCE(text, ''),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS n_email,
+           len(regexp_extract_all(COALESCE(text, ''),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+           len(regexp_extract_all(COALESCE(text, ''),
+               '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+           len(regexp_extract_all(COALESCE(text, ''),
+               '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b')) AS n_card,
+           len(regexp_extract_all(COALESCE(text, ''),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(COALESCE(text, ''),
+               '(?i)\b(?:idiot|stupid|moron|hate\ you)\b')) AS n_tox
+      FROM documents)
+    SELECT doc_id, n_email, n_ip, n_ssn, n_card, n_phone, n_tox,
+           (n_email + n_ip + n_ssn + n_card + n_phone) > 0 AS has_pii
+    FROM a
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -4152,7 +4150,7 @@ def _quality_flags_oracle() -> str:
 
 
 ORACLE["quality_flags"] = _quality_flags_oracle()
-ORACLE["pii_audit"] = _pii_audit_oracle()
+ORACLE["pii_audit"] = _PII_AUDIT_ORACLE
 
 
 def _corpus_prep_oracle() -> str:
