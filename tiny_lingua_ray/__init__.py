@@ -36,8 +36,18 @@ def _install_empty_bundle_warning_filter() -> None:
     iterates group boundaries, of which an empty block has none).  The
     noise is not reachable from user code; a genuine mismatch between
     two NAMED schemas still warns.
+
+    Message text taken from Ray 2.49.2
+    (streaming_executor_state.py) — a Ray upgrade that rewords it makes
+    the filter a no-op (warnings reappear, nothing is hidden).  Set
+    ``TLR_KEEP_RAY_SCHEMA_WARNINGS=1`` to skip installing it (ADVICE
+    r4: the install is a global logging side effect of import).
     """
     import logging
+    import os
+
+    if os.environ.get("TLR_KEEP_RAY_SCHEMA_WARNINGS"):
+        return
 
     class _DropEmptySchemaDivergence(logging.Filter):
         def filter(self, record: logging.LogRecord) -> bool:  # noqa: A003

@@ -55,6 +55,16 @@ def shards_for(ds, target_bytes: int = 64 << 20, lo: int = 16,
     try:
         nbytes = int(ds.size_bytes() or 0)
     except Exception:  # noqa: BLE001 — size unknown: fall back to floor
+        # At production scale a silent floor would quietly collapse the
+        # fan-out this size derivation exists to provide — make the
+        # degradation visible (ADVICE r4).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "shards_for: size_bytes() failed on %r — falling back to the "
+            "%d-shard floor; pass a SOURCE read (metadata-only size) or "
+            "use shards_for_table()", ds, lo,
+        )
         nbytes = 0
     n = int(max(lo, min(hi, -(-nbytes // target_bytes))))
     # pow2: for callers sharding with a bit_wise_and(key, P - 1) mask

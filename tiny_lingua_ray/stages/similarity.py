@@ -112,6 +112,11 @@ def _hash_sample(ds, id_column: str, sample_size: int):
         return b.filter(pa.array(h <= thr))
 
     cand = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    if cand.empty:  # zero rows under threshold: Ray returns a
+        # COLUMN-LESS frame (repo-standard typed-empty guard, ADVICE r4)
+        import pandas as pd
+
+        cand = pd.DataFrame({name: [] for name in ds.schema().names})
     # canonical (hash, id) order: both membership AND row order are then
     # independent of how blocks were concatenated
     ids = cand[id_column].to_numpy().astype(np.int64)
