@@ -11,7 +11,9 @@ NOTE (documented gap): our n-gram models are trained from this corpus's
 sentences+word-pairs splits (upstream Lingua model JSON is not available
 offline — models/__init__.py), so absolute accuracies are not comparable
 1:1 with /root/reference/accuracy-reports/lingua/*.txt; the *report
-machinery* and output format are.  single-words is the held-out split.
+machinery* and output format are.  Round 5: each accuracy mode trains
+its model artifacts on its own split mixture (see models/train
+DEFAULT_TRAIN_SPLITS / LOW_MODE_TRAIN_SPLITS rationale).
 """
 
 from __future__ import annotations
@@ -27,12 +29,16 @@ CORPUS_DIR = Path("/root/reference/src/accuracyReport/resources/language-testdat
 SPLITS = ("single-words", "word-pairs", "sentences")
 
 
-def corpus_dataset(languages=ALL_ISO1, limit_per_file: int | None = None):
+def corpus_dataset(
+    languages=ALL_ISO1,
+    limit_per_file: int | None = None,
+    use_splits=SPLITS,
+):
     """Corpus Dataset with columns (text, true_lang, split)."""
     import ray.data as rd
 
     texts, langs, splits = [], [], []
-    for split in SPLITS:
+    for split in use_splits:
         for lang in languages:
             f = CORPUS_DIR / split / f"{lang}.txt"
             if not f.exists():
@@ -70,19 +76,23 @@ def run_accuracy_report(
     limit_per_file: int | None = None,
     concurrency: int = 4,
     models_ref=None,
+    models_dir=None,
+    splits=SPLITS,
 ) -> pd.DataFrame:
     """Returns per (true_lang, split): n, correct, accuracy_pct."""
     from ray.data.aggregate import Count, Sum
 
     from tiny_lingua_ray.stages.langid import LangIdScorer
 
-    ds = corpus_dataset(languages, limit_per_file)
+    ds = corpus_dataset(languages, limit_per_file, splits)
     kwargs: dict = {
         "languages": tuple(languages),
         "low_accuracy": low_accuracy,
     }
     if models_ref is not None:
         kwargs["models_ref"] = models_ref
+    if models_dir is not None:
+        kwargs["models_dir"] = str(models_dir)
     scored = ds.map_batches(
         LangIdScorer,
         fn_constructor_kwargs=kwargs,

@@ -229,7 +229,9 @@ def quality_filter_dataset(
 
     from tiny_lingua_ray.models.train import ensure_models
 
-    mdir = ensure_models(languages=cfg.languages)
+    # low-accuracy configs score with the low-mode model artifacts
+    # (per-mode training mixtures — models/train.py rationale)
+    mdir = ensure_models(languages=cfg.languages, low_mode=cfg.low_accuracy)
 
     if models_ref is None and cfg.ship_models == "object_store":
         try:

@@ -252,9 +252,16 @@ class LangIdScorer:
 
             from tiny_lingua_ray.models.loader import load_resolved_cache
 
-            mdir = Path(models_dir or default_models_dir())
+            # low-accuracy mode reads its own model artifacts (per-mode
+            # training mixtures — models/train.py rationale)
+            mdir = Path(
+                models_dir or default_models_dir(low_mode=low_accuracy)
+            )
             if build_if_missing:
-                ensure_models(mdir, self.languages, use_ray=False)
+                ensure_models(
+                    mdir, self.languages, use_ray=False,
+                    low_mode=low_accuracy,
+                )
             packed = load_packed_models(mdir, self.languages)
             resolved_cache = load_resolved_cache(mdir)
         self.models: list[PackedModel] = [packed[l] for l in self.languages]

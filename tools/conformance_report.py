@@ -69,7 +69,9 @@ def main() -> None:
         write_reports,
     )
 
-    ensure_models()  # build once on the driver; actors mmap from disk
+    # build once on the driver (both per-mode model dirs); actors mmap
+    ensure_models()
+    ensure_models(low_mode=True)
     for low, out_dir in ((False, "accuracy"), (True, "accuracy-low")):
         agg = run_accuracy_report(low_accuracy=low, concurrency=16)
         write_reports(agg, REPO / "reports" / out_dir)
