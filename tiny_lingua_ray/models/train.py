@@ -221,12 +221,14 @@ def train_language(iso1: str, out_dir: Path, splits=DEFAULT_TRAIN_SPLITS) -> Non
 
 def default_models_dir(low_mode: bool = False) -> Path:
     if low_mode:
-        return Path(
-            os.environ.get(
-                "TLR_MODELS_DIR_LOW",
-                f"/tmp/tlr_models/{LOW_MODE_MODELS_VERSION}",
-            )
-        )
+        explicit = os.environ.get("TLR_MODELS_DIR_LOW")
+        if explicit:
+            return Path(explicit)
+        # a redirected TLR_MODELS_DIR redirects the low-mode sibling too
+        base = os.environ.get("TLR_MODELS_DIR")
+        if base:
+            return Path(base + "-low")
+        return Path(f"/tmp/tlr_models/{LOW_MODE_MODELS_VERSION}")
     return Path(
         os.environ.get("TLR_MODELS_DIR", f"/tmp/tlr_models/{MODELS_VERSION}")
     )
