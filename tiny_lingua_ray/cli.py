@@ -147,7 +147,11 @@ def cmd_query(args) -> int:
 def cmd_build_models(args) -> int:
     from tiny_lingua_ray.models.train import ensure_models
 
+    # both per-mode dirs: a build that populated only the high dir would
+    # leave `accuracy-report --low-accuracy` retraining all 75 languages
+    # inside every scorer actor's constructor (review r5)
     print(str(ensure_models(use_ray=False)))
+    print(str(ensure_models(use_ray=False, low_mode=True)))
     return 0
 
 

@@ -193,7 +193,10 @@ def _write_model_file(path: Path, freqs: dict[str, np.float32]) -> None:
         }
     )
     path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_suffix(".tmp.parquet")
+    # pid-suffixed temp: concurrent trainers of the same language (e.g.
+    # several cold actors racing build_if_missing) must not interleave
+    # writes into one temp file — each rename is then atomic and whole
+    tmp = path.with_suffix(f".{os.getpid()}.tmp.parquet")
     pq.write_table(table, tmp)
     os.replace(tmp, path)
 
@@ -210,9 +213,22 @@ def corpus_lines(iso1: str, splits=DEFAULT_TRAIN_SPLITS) -> list[str]:
 
 
 def train_language(iso1: str, out_dir: Path, splits=DEFAULT_TRAIN_SPLITS) -> None:
-    lines = corpus_lines(iso1, splits)
-    counts = count_ngrams(lines)
-    freqs = relative_frequencies(counts)
+    # A split listed k times contributes k-fold counts.  Count each
+    # UNIQUE split once and scale its counts by the weight — integer
+    # totals (hence float32 frequencies) are identical to physically
+    # duplicating the lines, at 1/k the read + tokenize work (the low
+    # mixture lists 19 entries over 3 distinct files).
+    totals: list[Counter] = [Counter() for _ in range(6)]
+    for split, w in Counter(splits).items():
+        counts = count_ngrams(corpus_lines(iso1, (split,)))
+        for n in range(1, 6):
+            if w == 1:
+                totals[n].update(counts[n])
+            else:
+                tn = totals[n]
+                for g, c in counts[n].items():
+                    tn[g] += c * w
+    freqs = relative_frequencies(totals)
     low = {g: f for g, f in freqs.items() if len(g) <= 3}
     high = {g: f for g, f in freqs.items() if len(g) >= 4}
     _write_model_file(out_dir / iso1 / "low.parquet", low)
@@ -249,6 +265,7 @@ def ensure_models(
     """
     out = models_dir or default_models_dir(low_mode)
     splits = LOW_MODE_TRAIN_SPLITS if low_mode else DEFAULT_TRAIN_SPLITS
+    _check_splits_marker(out, splits)
     missing = [
         l
         for l in languages
@@ -296,6 +313,33 @@ def ensure_models(
 
         build_resolved_cache(out, languages)
     return out
+
+
+def _check_splits_marker(out: Path, splits: tuple[str, ...]) -> None:
+    """Provenance guard: model files carry no record of the training
+    mixture that produced them, so a high-mixture dir handed to a
+    low-accuracy scorer (or vice versa) would silently reintroduce the
+    conformance gap the per-mode split fixed.  Each dir records its
+    mixture in ``_train_splits.txt``; a mismatch is a hard error.
+    Pre-provenance caches (dir populated, no marker) are adopted by
+    writing the requested mixture — the two mainline /tmp dirs predate
+    the marker and are known-correct for their mode."""
+    expected = ",".join(splits)
+    marker = out / "_train_splits.txt"
+    if marker.exists():
+        found = marker.read_text(encoding="utf-8").strip()
+        if found != expected:
+            raise ValueError(
+                f"models dir {out} was trained with mixture [{found}] but "
+                f"mixture [{expected}] was requested — per-mode model dirs "
+                "must not be crossed (models/train.py per-mode rationale); "
+                "point at the matching dir or delete the cache to retrain"
+            )
+        return
+    out.mkdir(parents=True, exist_ok=True)
+    tmp = marker.with_suffix(f".{os.getpid()}.tmp")
+    tmp.write_text(expected, encoding="utf-8")
+    os.replace(tmp, marker)
 
 
 def _train_one(args: tuple[str, str, tuple]) -> str:

@@ -84,6 +84,14 @@ def run_accuracy_report(
 
     from tiny_lingua_ray.stages.langid import LangIdScorer
 
+    if models_ref is None and models_dir is None:
+        # driver-side pre-build: a cold per-mode dir must be trained ONCE
+        # here, not concurrently inside every scorer actor's constructor
+        # (duplicated 75-language training × concurrency, review r5)
+        from tiny_lingua_ray.models.train import ensure_models
+
+        ensure_models(low_mode=low_accuracy)
+
     ds = corpus_dataset(languages, limit_per_file, splits)
     kwargs: dict = {
         "languages": tuple(languages),

@@ -2862,8 +2862,9 @@ def q_above_avg_events(sf_dir: str):
     power-of-two group sizes land exactly on .5e-6 rounding boundaries
     and diverge at the ulp level between engines (found at sf0.1).
     The raw float64 ``value`` is deliberately NOT emitted and the
-    oracle rounds via the version-stable ``FLOOR(x*100+0.5)`` rather
-    than ``ROUND`` on DOUBLE (whose half-boundary behavior changed
+    oracle rounds via the version-stable sign-split
+    ``FLOOR(x*100+0.5)`` form (exactly ``tableutil.round_half_away``)
+    rather than ``ROUND`` on DOUBLE (whose half-boundary behavior changed
     across DuckDB releases — the r3/r4 driver-only hash mismatch), so
     no environment-sensitive float formatting sits on the hash path."""
 
@@ -3843,6 +3844,12 @@ def _stable_round_sql(sql: str) -> str:
         if not m:
             out.append(sql[i:])
             break
+        # leave matches INSIDE single-quoted literals untouched (quote
+        # parity up to the match start; '' escapes keep parity correct)
+        if sql[: i + m.start()].count("'") % 2 == 1:
+            out.append(sql[i : i + m.end()])
+            i = i + m.end()
+            continue
         out.append(sql[i : i + m.start()])
         j = i + m.end()  # just past the opening paren
         depth, top_comma, k = 1, None, j
@@ -4468,13 +4475,22 @@ ORACLE["mode_event_type"] = """
     WHERE rn = 1
 """
 ORACLE["above_avg_events"] = """
-    WITH t AS (
+    WITH c AS (
       SELECT event_id, user_id,
-             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             -- sign-split half-away cents: bare FLOOR(x+0.5) floors
+             -- toward -inf for negative x, diverging from the engine's
+             -- round_half_away (values are non-negative today; keep the
+             -- oracle correct for any sign regardless)
+             CAST(CASE WHEN value >= 0
+                       THEN FLOOR(value * 100 + 0.5)
+                       ELSE -FLOOR(-value * 100 + 0.5) END
+                  AS BIGINT) AS cents
+      FROM events),
+    t AS (
+      SELECT event_id, user_id, cents,
              COUNT(*) OVER (PARTITION BY user_id) AS n_user,
-             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
-               OVER (PARTITION BY user_id) AS sum_cents
-      FROM events)
+             SUM(cents) OVER (PARTITION BY user_id) AS sum_cents
+      FROM c)
     SELECT event_id, user_id, cents,
            sum_cents, CAST(n_user AS BIGINT) AS n_user
     FROM t WHERE cents * n_user > sum_cents

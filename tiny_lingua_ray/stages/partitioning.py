@@ -60,10 +60,13 @@ def shards_for(ds, target_bytes: int = 64 << 20, lo: int = 16,
         # degradation visible (ADVICE r4).
         import logging
 
+        # NOTE: log the type name only — Dataset.__repr__ touches
+        # plan/schema state and can itself be slow or raise in exactly
+        # this broken-metadata case
         logging.getLogger(__name__).warning(
-            "shards_for: size_bytes() failed on %r — falling back to the "
-            "%d-shard floor; pass a SOURCE read (metadata-only size) or "
-            "use shards_for_table()", ds, lo,
+            "shards_for: size_bytes() failed on a %s — falling back to "
+            "the %d-shard floor; pass a SOURCE read (metadata-only size) "
+            "or use shards_for_table()", type(ds).__name__, lo,
         )
         nbytes = 0
     n = int(max(lo, min(hi, -(-nbytes // target_bytes))))

@@ -112,8 +112,24 @@ def _hash_sample(ds, id_column: str, sample_size: int):
         return b.filter(pa.array(h <= thr))
 
     cand = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    if cand.empty:  # zero rows under threshold: Ray returns a
-        # COLUMN-LESS frame (repo-standard typed-empty guard, ADVICE r4)
+    # zero rows under threshold (probability ~0 unless the id space is
+    # degenerate): widening the threshold keeps the sample deterministic
+    # and the fit survivable — a typed-empty frame would just move the
+    # crash into the downstream kmeans (review r5)
+    widen = 0
+    while cand.empty and widen < 4:
+        widen += 1
+        thr_w = np.uint64(
+            min(2**64 - 1, int(min(1.0, frac * 16.0**widen) * 2.0**64))
+        )
+
+        def pick_w(b: pa.Table, t=thr_w) -> pa.Table:
+            h = _mix64(_ids(b, id_column))
+            return b.filter(pa.array(h <= t))
+
+        cand = ds.map_batches(pick_w, batch_format="pyarrow").to_pandas()
+    if cand.empty:  # still empty: COLUMN-LESS frame from Ray — typed
+        # empty so callers fail with a clear shape, not a KeyError
         import pandas as pd
 
         cand = pd.DataFrame({name: [] for name in ds.schema().names})
@@ -277,6 +293,10 @@ class IVFTopK:
         self.qids = np.asarray(state["qids"])
         self.Q = state["Q"]                    # [q, D] unit
         self.probe = state["probe"]            # [q, n_probe] cell ids
+        # radius sentinels are only consumed by exact mode's phase-1
+        # (approximate mode and phase-2 would compute + ship them just
+        # for the driver to discard)
+        self.emit_radii = bool(state.get("emit_radii", True))
         self.k = k
         self.id_column = id_column
         self.vec_column = vec_column
@@ -292,11 +312,12 @@ class IVFTopK:
         # WORST member-to-own-centroid dot (query_id = -1, neighbor_id =
         # cell) — the driver's min-combine turns these into exact cell
         # radii for the bound-probe exact mode, at zero extra scans.
-        own = sims[np.arange(len(cells)), cells]
-        for c in np.unique(cells):
-            qcol.append(-1)
-            ncol.append(int(c))
-            scol.append(float(own[cells == c].min()))
+        if self.emit_radii:
+            own = sims[np.arange(len(cells)), cells]
+            for c in np.unique(cells):
+                qcol.append(-1)
+                ncol.append(int(c))
+                scol.append(float(own[cells == c].min()))
         for qi in range(len(self.qids)):
             mask = np.isin(cells, self.probe[qi]) & (ids != self.qids[qi])
             cand = np.nonzero(mask)[0]
@@ -340,6 +361,13 @@ def knn_ivf(ds, query_ids, k: int = 5, n_cells: int = 16, n_probe: int = 4,
     single phase-2 pass restricted to the escaped cells per query."""
     import pandas as pd
 
+    if any(int(q) == -1 for q in query_ids):
+        # -1 is the in-band radius-sentinel query_id; a real query with
+        # that id would be silently dropped and pollute the radii
+        raise ValueError(
+            "knn_ivf: query_id -1 is reserved (radius sentinel); "
+            "re-key the vectors or use knn_brute_force"
+        )
     qtab = _pick_queries(ds, query_ids, id_column)
     if qtab.empty:  # empty input: no queries, nothing to search
         return pd.DataFrame(
@@ -363,6 +391,8 @@ def knn_ivf(ds, query_ids, k: int = 5, n_cells: int = 16, n_probe: int = 4,
         "qids": qtab[id_column].to_numpy(),
         "Q": Q,
         "probe": probe,
+        # per-cell radii are only needed by exact mode's phase-1 scan
+        "emit_radii": exact,
     }
     try:
         import ray
@@ -406,7 +436,7 @@ def knn_ivf(ds, query_ids, k: int = 5, n_cells: int = 16, n_probe: int = 4,
                 unprobed[bound[qi, unprobed] >= kth - 1e-9]
             )
         if any(len(e) for e in extra):
-            state2 = dict(state, probe=extra)
+            state2 = dict(state, probe=extra, emit_radii=False)
             try:
                 import ray
 
