@@ -262,6 +262,27 @@ def test_knn_ivf_scale_path(ray_session):
     )
 
 
+def test_knn_ivf_rejects_sentinel_query_id(ray_session):
+    """query_id -1 is the in-band radius-sentinel row id; accepting it
+    would silently drop that query's results and pollute exact-mode cell
+    radii (review r5) — it must be a hard error."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.similarity import knn_ivf
+
+    rng = np.random.RandomState(7)
+    ds = rd.from_items(
+        [
+            {"vec_id": i - 1, "embedding": rng.standard_normal(8).tolist()}
+            for i in range(20)
+        ]
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        knn_ivf(ds, query_ids=[-1], k=3, n_cells=4, n_probe=2)
+
+
 def test_cli_query_subcommand(tmp_path):
     """`cli query` runs a registered pipeline end to end in its own
     process (owns its Ray session) and writes parquet."""
