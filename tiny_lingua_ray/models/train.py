@@ -336,10 +336,16 @@ def _check_splits_marker(out: Path, splits: tuple[str, ...]) -> None:
                 "point at the matching dir or delete the cache to retrain"
             )
         return
-    out.mkdir(parents=True, exist_ok=True)
-    tmp = marker.with_suffix(f".{os.getpid()}.tmp")
-    tmp.write_text(expected, encoding="utf-8")
-    os.replace(tmp, marker)
+    try:
+        out.mkdir(parents=True, exist_ok=True)
+        tmp = marker.with_suffix(f".{os.getpid()}.tmp")
+        tmp.write_text(expected, encoding="utf-8")
+        os.replace(tmp, marker)
+    except OSError:
+        # adoption is best-effort: a read-only prebuilt model dir must
+        # keep working without a marker (training, if any is needed,
+        # will fail on its own with the real permission error)
+        pass
 
 
 def _train_one(args: tuple[str, str, tuple]) -> str:
