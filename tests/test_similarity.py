@@ -40,8 +40,14 @@ def test_kmeans_assign_matches_driver_reference(ray_session):
         .sort_values("vec_id", ignore_index=True)
     )
     vecs = np.asarray(tab.column("embedding").to_pylist(), dtype=np.float64)
-    # sample_size=4096 >= corpus, so the fit sample is the whole corpus
-    want_a, want_s = _reference_assign(vecs, 8, vecs)
+    # sample_size=4096 >= corpus, so the fit sample is the whole corpus —
+    # in the library's canonical (hash, id) order (the _hash_sample
+    # contract: rerun-identical regardless of block arrival order)
+    from tiny_lingua_ray.stages.similarity import _mix64
+
+    ids = tab.column("vec_id").to_numpy().astype(np.int64)
+    fit_order = np.lexsort((ids, _mix64(ids)))
+    want_a, want_s = _reference_assign(vecs, 8, vecs[fit_order])
     order = np.argsort(tab.column("vec_id").to_numpy())
     assert (got["cluster"].to_numpy() == want_a[order]).all()
     assert np.allclose(got["cosine_to_centroid"].to_numpy(), want_s[order])

@@ -83,6 +83,14 @@ def logreg_train(features, feature_cols, label_col="label",
         ).to_pandas()  # O(blocks) rows of D+2 floats
         if len(parts) == 0:  # empty features: nothing to fit
             break
+        # The streaming executor delivers block partials in arrival order,
+        # which varies run-to-run; float addition is non-associative, so an
+        # unsorted reduce makes training only ULP-reproducible. The partial
+        # MULTISET is deterministic (materialized input, per-block math) —
+        # canonically sorting before the sum makes the step bit-exact.
+        parts = parts.sort_values(
+            by=list(parts.columns), kind="mergesort", ignore_index=True
+        )
         n = parts["n"].sum()
         g = parts[[f"g{j}" for j in range(D)]].sum().to_numpy() / n
         g[1:] += l2 * w[1:]

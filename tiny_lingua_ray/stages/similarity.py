@@ -103,7 +103,15 @@ def _hash_sample(ds, id_column: str, sample_size: int):
             import pandas as pd
 
             out = pd.DataFrame({name: [] for name in ds.schema().names})
-        return out
+            return out
+        # Same canonical (hash, id) order as the large path: block
+        # arrival order is NOT preserved by the streaming executor, and
+        # a centroid fit is row-order-sensitive — sorting keeps the
+        # whole-corpus sample rerun-identical too.
+        ids_s = out[id_column].to_numpy().astype(np.int64)
+        return out.iloc[np.lexsort((ids_s, _mix64(ids_s)))].reset_index(
+            drop=True
+        )
     frac = min(1.0, 2.0 * sample_size / total)  # 2x target for the cut
     thr = np.uint64(min(2**64 - 1, int(frac * 2.0**64)))
 
