@@ -42,7 +42,7 @@ def ddb():
      "pmi_top20", "window_dedup", "search_bm25", "weighted_sample",
      "inverted_index", "chunk_overlap", "dsir_weights",
      "dsir_select", "decontaminate_ngram", "temperature_mixture",
-     "pii_audit"],
+     "pii_audit", "boilerplate_purge", "deterministic_shuffle"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES

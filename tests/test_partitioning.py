@@ -177,7 +177,8 @@ def test_queries_survive_empty_input(ray_session, tmp_path):
         "quality_flags", "corpus_prep", "simhash", "knn_cosine_ivf",
         "kmeans_clusters", "knn_cosine_pq", "approx_distinct_users",
         "approx_heavy_hitters", "compression_ratio",
-        "approx_quantiles_chars", "pii_audit",
+        "approx_quantiles_chars", "pii_audit", "boilerplate_purge",
+        "deterministic_shuffle",
     )
     import pandas as pd
 

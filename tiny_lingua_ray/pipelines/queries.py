@@ -1698,6 +1698,114 @@ def q_paragraph_dedup(sf_dir: str):
     )
 
 
+def q_boilerplate_purge(sf_dir: str):
+    """C4/RefinedWeb-style boilerplate removal — the PURGE counterpart
+    of q_paragraph_dedup's keep-first: any 20-word chunk that occurs in
+    >= 2 DISTINCT documents is removed from EVERY document (including
+    the first occurrence; C4 drops repeated three-sentence spans the
+    same way).  A chunk repeated only within one document is content,
+    not boilerplate, and is kept.  Docs whose every chunk was purged
+    drop out (same rule as paragraph_dedup); survivors rebuild in pno
+    order and carry ``n_dropped``.
+
+    Same two-exchange shape as _paragraph_dedup_ds: shard1 =
+    hash(chunk) % P puts every copy of a chunk in one shard (the
+    distinct-doc count is exact per shard, never merged); dropped rows
+    re-route to the doc shard as (doc_id, pno, kept=0) WITHOUT the
+    chunk string, so the second exchange ships text only for survivors.
+    """
+    from tiny_lingua_ray.models.train import fnv1a_64_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W, P = 20, _shards_for(ds)
+
+    def chunk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        did, pno, para = [], [], []
+        for i, t in zip(ids, texts):
+            ws = (t or "").split(" ")
+            for j in range(0, len(ws), W):
+                did.append(i)
+                pno.append(j // W)
+                para.append(" ".join(ws[j : j + W]))
+        h = fnv1a_64_batch(para)
+        return pa.table(
+            {
+                "shard": pa.array((h % np.uint64(P)).astype(np.int64)),
+                "doc_id": pa.array(did, pa.int64()),
+                "pno": pa.array(pno, pa.int64()),
+                "para": pa.array(para, pa.string()),
+            }
+        )
+
+    empty_flagged = pa.table(
+        {
+            "shard2": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "pno": pa.array([], pa.int64()),
+            "para": pa.array([], pa.string()),
+            "kept": pa.array([], pa.int8()),
+        }
+    )
+
+    def flag_boilerplate(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty_flagged
+        ndocs = df.groupby("para", sort=False)["doc_id"].transform(
+            "nunique"
+        )
+        kept = (ndocs.to_numpy() == 1)
+        para = df["para"].to_numpy(dtype=object)
+        para[~kept] = ""  # purge payload: no text ships for drops
+        return pa.table(
+            {
+                "shard2": pa.array(df["doc_id"].to_numpy() % P),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "pno": pa.array(df["pno"].to_numpy(), pa.int64()),
+                "para": pa.array(para, pa.string()),
+                "kept": pa.array(kept.astype(np.int8)),
+            }
+        )
+
+    empty_docs = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "n_dropped": pa.array([], pa.int64()),
+        }
+    )
+
+    def rebuild(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty_docs
+        d = df.sort_values(["doc_id", "pno"])
+        kept_rows = d[d["kept"] == 1]
+        if len(kept_rows) == 0:  # every doc in the shard fully purged
+            return empty_docs
+        text = kept_rows.groupby("doc_id", sort=False)["para"].agg(
+            " ".join
+        )
+        total = d.groupby("doc_id", sort=False).size()
+        n_kept = kept_rows.groupby("doc_id", sort=False).size()
+        n_dropped = (total.reindex(text.index) - n_kept).to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(text.index.to_numpy(), pa.int64()),
+                "text": pa.array(text.to_numpy(), pa.string()),
+                "n_dropped": pa.array(n_dropped.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(chunk, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(flag_boilerplate, batch_format="pandas")
+        .groupby("shard2")
+        .map_groups(rebuild, batch_format="pandas")
+    )
+
+
 def q_bigram_top20(sf_dir: str):
     """Corpus-wide adjacent-bigram top-20 (the count table feeding PMI /
     collocation mining): same exhaustive shard-topk scheme as
@@ -2141,6 +2249,83 @@ def q_cap_per_source(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(cap_in_shard, batch_format="pandas")
+    )
+
+
+def q_deterministic_shuffle(sf_dir: str):
+    """Seeded deterministic global shuffle — the training-order shuffle
+    that precedes sequence packing: every doc gets its exact 1-based
+    position in the order md5("s42:" || doc_id), replayable bit-exact
+    on any engine (no RNG state, rerun- and resume-stable).  Emitting
+    the explicit (doc_id, pos) permutation makes the ORDER itself the
+    checked value (the driver's hash compare is order-insensitive).
+
+    Distributed global rank with NO sampling pass: md5 keys are uniform
+    by construction, so the top bits of the key ARE the range splitter —
+    bucket = monotone map of rk onto P buckets, per-bucket counts (tiny
+    aggregate) give exact exclusive offsets, each bucket sorts locally
+    by (rk, doc_id) and adds its offset.  One exchange of
+    (bucket, doc_id, rk) = 24 B/row; the same shape as
+    relational_ext.q_global_rank_docs minus its splitter sample."""
+    import ray
+    import ray.data as rd
+
+    from tiny_lingua_ray.stages.dedup import _md5_lower64_batch
+
+    P = _shards_for_table(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        rk = _md5_lower64_batch([f"s42:{i}" for i in ids])
+        # uint64 -> float64 is monotone nondecreasing, so bucket ids
+        # respect rk order and per-bucket offsets are exact
+        bucket = np.minimum(
+            (rk.astype(np.float64) / 2.0**64 * P).astype(np.int64),
+            P - 1,
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "rk": pa.array(rk.astype(np.uint64)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        }
+    )
+
+    tagged = docs.map_batches(prep, batch_format="pyarrow").materialize()
+    counts = tagged.groupby("bucket").count().to_pandas()
+    if len(counts) == 0:  # empty corpus: column-less frame, typed empty out
+        return rd.from_arrow(empty)
+    counts = counts.sort_values("bucket")
+    counts["offset"] = counts["count()"].cumsum() - counts["count()"]
+    off_ref = ray.put(
+        dict(zip(counts["bucket"].astype(int), counts["offset"].astype(int)))
+    )
+
+    def rank_in_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        base = int(ray.get(off_ref)[int(df["bucket"].iloc[0])])
+        d = df.sort_values(["rk", "doc_id"], ignore_index=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(d["doc_id"].to_numpy(np.int64)),
+                "pos": pa.array(
+                    base + 1 + np.arange(len(d), dtype=np.int64)
+                ),
+            }
+        )
+
+    return (
+        tagged.groupby("bucket")
+        .map_groups(rank_in_bucket, batch_format="pandas")
     )
 
 
@@ -3771,6 +3956,8 @@ QUERIES = {
     "event_sequences": q_event_sequences,
     "zscore_outliers": q_zscore_outliers,
     "paragraph_dedup": q_paragraph_dedup,
+    "boilerplate_purge": q_boilerplate_purge,
+    "deterministic_shuffle": q_deterministic_shuffle,
     "bigram_top20": q_bigram_top20,
     "event_cooccurrence": q_event_cooccurrence,
     "latest_event_per_user": q_latest_event_per_user,
@@ -4653,6 +4840,35 @@ ORACLE["paragraph_dedup"] = """
     JOIN firsts f
       ON f.para = p.para AND p.doc_id * 100000 + p.pno = f.fk
     GROUP BY p.doc_id
+"""
+
+ORACLE["boilerplate_purge"] = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    paras AS (
+      SELECT doc_id, i AS pno,
+             array_to_string(ws[(i*20+1):((i+1)*20)], ' ') AS para
+      FROM w, LATERAL (
+        SELECT UNNEST(generate_series(
+          0, CAST(CEIL(len(ws) / 20.0) AS INT) - 1)) AS i) t),
+    bp AS (
+      SELECT para FROM paras
+      GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT p.doc_id,
+           string_agg(CASE WHEN b.para IS NULL THEN p.para END,
+                      ' ' ORDER BY p.pno) AS text,
+           COUNT(b.para) AS n_dropped
+    FROM paras p LEFT JOIN bp b ON b.para = p.para
+    GROUP BY p.doc_id
+    HAVING COUNT(CASE WHEN b.para IS NULL THEN 1 END) > 0
+"""
+
+ORACLE["deterministic_shuffle"] = """
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY md5_number_lower('s42:' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS pos
+    FROM documents
 """
 
 # Extended join / window / split operators (round 2) — see relational_ext.py
