@@ -56,6 +56,10 @@ BENCH_QUERIES = (
     "dsir_weights",
     "temperature_mixture",
     "bpe_encode",
+    "containment_pairs",
+    "dedup_keep_best",
+    "boilerplate_purge",
+    "deterministic_shuffle",
 )
 
 

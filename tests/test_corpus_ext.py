@@ -42,7 +42,8 @@ def ddb():
      "pmi_top20", "window_dedup", "search_bm25", "weighted_sample",
      "inverted_index", "chunk_overlap", "dsir_weights",
      "dsir_select", "decontaminate_ngram", "temperature_mixture",
-     "pii_audit", "boilerplate_purge", "deterministic_shuffle"],
+     "pii_audit", "boilerplate_purge", "deterministic_shuffle",
+     "dedup_keep_best", "containment_pairs"],
 )
 def test_corpus_query_matches_oracle(ray_session, ddb, key):
     from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES
@@ -600,3 +601,73 @@ def test_pii_audit_planted(ray_session, tmp_path):
     assert bool(r["has_pii"])
     assert not bool(out.loc[1, "has_pii"]) and out.loc[1, "n_tox"] == 0
     assert not bool(out.loc[2, "has_pii"])
+
+
+def test_word_shingles_fallbacks():
+    from tiny_lingua_ray.models.train import fnv1a_64
+    from tiny_lingua_ray.stages.dedup import word_shingles
+
+    assert word_shingles("").size == 0
+    assert word_shingles("  ").size == 0
+    assert word_shingles("one two").tolist() == [fnv1a_64("one two")]
+    sh = word_shingles("A b c d")  # lowercased trigrams
+    assert sorted(sh.tolist()) == sorted(
+        [fnv1a_64("a b c"), fnv1a_64("b c d")]
+    )
+
+
+def test_dedup_keep_best_picks_longest(ray_session, tmp_path):
+    """keep_best retains the cluster's LONGEST member (keep_first would
+    retain doc 1); isolated docs survive in both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiny_lingua_ray.pipelines.queries import QUERIES
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    texts = [base, base + "tail", "unrelated words entirely different"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en", "en", "de"], pa.string()),
+            "source": pa.array(["s", "s", "s"], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    first = QUERIES["dedup_keep_first"](str(tmp_path)).to_pandas()
+    best = QUERIES["dedup_keep_best"](str(tmp_path)).to_pandas()
+    assert set(first["doc_id"]) == {1, 3}
+    assert set(best["doc_id"]) == {2, 3}
+
+
+def test_containment_pairs_planted(ray_session, tmp_path):
+    """A short doc pasted inside a long page: containment ~1.0 in one
+    direction only, while symmetric Jaccard is far below any dedup
+    threshold — the case this operator exists for."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiny_lingua_ray.pipelines.queries import QUERIES
+
+    sub = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    texts = [sub, filler + " " + sub, "totally distinct other content here"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    out = QUERIES["containment_pairs"](str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r["id_sub"]), int(r["id_sup"])) == (10, 20)
+    assert r["containment"] == 1.0

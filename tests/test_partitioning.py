@@ -178,7 +178,7 @@ def test_queries_survive_empty_input(ray_session, tmp_path):
         "kmeans_clusters", "knn_cosine_pq", "approx_distinct_users",
         "approx_heavy_hitters", "compression_ratio",
         "approx_quantiles_chars", "pii_audit", "boilerplate_purge",
-        "deterministic_shuffle",
+        "deterministic_shuffle", "dedup_keep_best", "containment_pairs",
     )
     import pandas as pd
 

@@ -270,6 +270,169 @@ def q_dedup_keep_first(sf_dir: str):
     )
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Keep-BEST near-dup dedup (the RefinedWeb/FineWeb representative
+    policy): same Jaccard>=0.8 clusters as q_dedup_keep_first, but the
+    survivor of each cluster is its highest-QUALITY member — here
+    max ``n_chars`` with a min-doc_id tie-break — instead of the
+    smallest doc_id.  On real web text the first-crawled copy is often
+    the truncated one; keep-best retains the fullest.
+
+    Scale shape: three linear exchanges, NONE carrying text.
+    (1) the component labels (node, label; 16 B/row) cogroup the
+    corpus's (doc_id, n_chars; 16 B/row) on ``doc_id % P`` to attach
+    each clustered member's quality score; (2) the (label, node,
+    n_chars) rows regroup on ``label % P`` where each cluster drops its
+    argmax(n_chars, -doc_id) and emits the rest as victims (8 B/row);
+    (3) the keep_first anti-join cogroup of victims against the corpus.
+    """
+    from tiny_lingua_ray.pipelines.queries import jaccard_pairs_dataset
+    from tiny_lingua_ray.stages.cluster import connected_components
+
+    P = _shards_for_table(sf_dir, "documents", lo=32)
+    labels = connected_components(
+        jaccard_pairs_dataset(sf_dir), num_shards=P
+    )
+
+    def prep_members(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "shard": pa.array(node % P),
+                "key": pa.array(node),
+                "label": pa.array(lab),
+                "n_chars": pa.array(np.zeros(len(node), dtype=np.int64)),
+                "side": pa.array(np.ones(len(node), dtype=np.int8)),
+            }
+        )
+
+    def prep_quality(b: pa.Table) -> pa.Table:
+        key = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "shard": pa.array(key % P),
+                "key": pa.array(key),
+                "label": pa.array(np.zeros(len(key), dtype=np.int64)),
+                "n_chars": b.column("n_chars"),
+                "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            }
+        )
+
+    empty_members = pa.table(
+        {
+            "shard2": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64()),
+            "node": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+
+    def attach_quality(df: pd.DataFrame) -> pa.Table:
+        mem = df[df["side"] == 1]
+        if len(mem) == 0:
+            return empty_members
+        qual = df[df["side"] == 0].set_index("key")["n_chars"]
+        nc = qual.reindex(mem["key"]).to_numpy()
+        lab = mem["label"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "shard2": pa.array(lab % P),
+                "label": pa.array(lab),
+                "node": pa.array(mem["key"].to_numpy(dtype=np.int64)),
+                "n_chars": pa.array(nc.astype(np.int64)),
+            }
+        )
+
+    empty_victims = pa.table(
+        {
+            "shard3": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "side": pa.array([], pa.int8()),
+        }
+    )
+
+    def pick_victims(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty_victims
+        d = df.sort_values(
+            ["label", "n_chars", "node"],
+            ascending=[True, False, True],
+            ignore_index=True,
+        )
+        lab = d["label"].to_numpy()
+        first = np.empty(len(lab), dtype=bool)
+        first[0] = True
+        first[1:] = lab[1:] != lab[:-1]
+        v = d["node"].to_numpy(dtype=np.int64)[~first]
+        return pa.table(
+            {
+                "shard3": pa.array(v % P),
+                "key": pa.array(v),
+                "lang": pa.nulls(len(v), pa.string()),
+                "side": pa.array(np.ones(len(v), dtype=np.int8)),
+            }
+        )
+
+    def prep_docs(b: pa.Table) -> pa.Table:
+        key = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "shard3": pa.array(key % P),
+                "key": pa.array(key),
+                "lang": b.column("lang"),
+                "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            }
+        )
+
+    empty_out = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "lang": pa.array([], pa.string())}
+    )
+
+    def anti_in_shard(df: pd.DataFrame) -> pa.Table:
+        docs = df[df["side"] == 0]
+        victims = df.loc[df["side"] == 1, "key"]
+        keep = docs[~docs["key"].isin(victims)]
+        if len(keep) == 0:
+            return empty_out
+        return pa.table(
+            {
+                "doc_id": pa.array(keep["key"].to_numpy(dtype=np.int64)),
+                "lang": pa.array(keep["lang"].tolist(), pa.string()),
+            }
+        )
+
+    members = labels.map_batches(prep_members, batch_format="pyarrow")
+    quality = _read(
+        sf_dir, "documents", columns=["doc_id", "n_chars"]
+    ).map_batches(prep_quality, batch_format="pyarrow")
+    victims = (
+        members.union(quality)
+        .groupby("shard")
+        .map_groups(attach_quality, batch_format="pandas")
+        .groupby("shard2")
+        .map_groups(pick_victims, batch_format="pandas")
+    )
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        prep_docs, batch_format="pyarrow"
+    )
+    return (
+        docs.union(victims)
+        .groupby("shard3")
+        .map_groups(anti_in_shard, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog approximate distinct users per event type
 # ---------------------------------------------------------------------------
@@ -757,6 +920,32 @@ def _dedup_keep_first_oracle(jaccard_pairs_sql: str) -> str:
           SELECT u AS node FROM reach GROUP BY u HAVING MIN(v) < u)
         SELECT d.doc_id, d.lang
         FROM documents d
+        WHERE d.doc_id NOT IN (SELECT node FROM victims)
+    """
+
+
+def _dedup_keep_best_oracle(jaccard_pairs_sql: str) -> str:
+    """Composed from the verified jaccard_pairs oracle: transitive
+    closure -> per-cluster rank by (n_chars DESC, doc_id ASC) -> the
+    complement of every rank>1 member survives."""
+    return f"""
+        WITH RECURSIVE pairs AS ({jaccard_pairs_sql}),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        lab AS (SELECT u AS node, LEAST(u, MIN(v)) AS cid
+                FROM reach GROUP BY u),
+        ranked AS (
+          SELECT l.node, ROW_NUMBER() OVER (
+            PARTITION BY l.cid ORDER BY d.n_chars DESC, l.node ASC) AS rn
+          FROM lab l JOIN documents d ON d.doc_id = l.node),
+        victims AS (SELECT node FROM ranked WHERE rn > 1)
+        SELECT d.doc_id, d.lang FROM documents d
         WHERE d.doc_id NOT IN (SELECT node FROM victims)
     """
 
@@ -1442,6 +1631,7 @@ QUERIES_CORPUS = {
     "lang_word_top5": q_lang_word_top5,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_first": q_dedup_keep_first,
+    "dedup_keep_best": q_dedup_keep_best,
     "approx_distinct_users": q_approx_distinct_users,
     "approx_heavy_hitters": q_approx_heavy_hitters,
     "repetition_signals": q_repetition_signals,

@@ -1111,6 +1111,350 @@ def q_jaccard_pairs(sf_dir: str):
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
+def q_containment_pairs(sf_dir: str, t: float = 0.9, max_df: int | None = None):
+    """EXACT set-containment join: every ordered doc pair (sub, sup)
+    whose word-3-gram containment |sh(sub) ∩ sh(sup)| / |sh(sub)| >= 0.9.
+    Containment is the near-dup axis symmetric Jaccard MISSES — a news
+    wire story pasted into a long page has tiny Jaccard (the union is
+    dominated by the page) but containment ~1.0 — so minhash-LSH
+    candidates (tuned for J >= 0.8) cannot feed this operator.  Word
+    shingles (Broder's granularity), not char 5-grams: on
+    small-vocabulary text char shingles are corpus-universal (sf0.01:
+    median df 31/500 docs, prefix-filter candidates ≈ all pairs) while
+    word 3-grams stay distinctive (median df 1, candidates ≈ true
+    pairs).
+
+    Candidates come from PREFIX FILTERING (the AllPairs/PPJoin family,
+    Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity Search"),
+    which is exact: if C(a->b) >= t then at most floor((1-t)*|a|)
+    shingles of a miss b, so among ANY floor((1-t)*|a|)+1 shingles of a
+    at least one is in b — probing that prefix against a full inverted
+    index over b's shingles can never lose a true pair.  The prefix is
+    taken in ascending GLOBAL document-frequency order (rarest first),
+    which is pure optimization on top of the guarantee: hot boilerplate
+    shingles then (almost) never appear in prefixes, so the per-shingle
+    probe x index blowup that kills naive token joins on web text never
+    materializes.  ``max_df`` (default None = exact) additionally skips
+    index shingles hotter than the cap at a quantified recall cost —
+    the production knob for adversarial corpora, mirroring
+    dedup.MAX_BUCKET.
+
+    Five linear exchanges, text shipped through exactly one (E4):
+    E1 flat (shingle, doc, n) rows cogroup on ``sh % P`` — each
+    shingle's exact df is shard-local; E2 regroup on ``doc % P`` to cut
+    each doc's df-ordered prefix; E3 probe rows meet the full index on
+    ``sh % P`` and emit candidate pair keys (8 B, deduped in-shard);
+    E4/E5 the jaccard_pairs tagged-union verify cogroup, extended with
+    a per-side tag so |sub| and |sup| fall out of the same lexsort that
+    counts the intersection."""
+    from tiny_lingua_ray.stages.dedup import word_shingles
+
+    P = _shards_for_table(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        parts, did, nn = [], [], []
+        for i, txt in zip(ids, texts):
+            sh = word_shingles(txt or "")
+            if len(sh) == 0:  # no shingles: cannot contain or be contained
+                continue
+            parts.append(sh)
+            did.append(i)
+            nn.append(len(sh))
+        if not parts:
+            return pa.table(
+                {"shard": pa.array([], pa.int64()),
+                 "sh": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        sh_all = np.concatenate(parts)
+        lens = np.array(nn, dtype=np.int64)
+        doc_all = np.repeat(np.asarray(did, dtype=np.int64), lens)
+        n_all = np.repeat(lens, lens)
+        return pa.table(
+            {
+                "shard": pa.array((sh_all % np.uint64(P)).astype(np.int64)),
+                "sh": pa.array(sh_all, pa.uint64()),
+                "doc_id": pa.array(doc_all),
+                "n": pa.array(n_all),
+            }
+        )
+
+    empty_df_rows = pa.table(
+        {"shard2": pa.array([], pa.int64()),
+         "sh": pa.array([], pa.uint64()),
+         "doc_id": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64()),
+         "df": pa.array([], pa.int64())}
+    )
+
+    def attach_df(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty_df_rows
+        dfreq = df.groupby("sh", sort=False)["doc_id"].transform("size")
+        doc = df["doc_id"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "shard2": pa.array(doc % P),
+                "sh": pa.array(df["sh"].to_numpy(), pa.uint64()),
+                "doc_id": pa.array(doc),
+                "n": pa.array(df["n"].to_numpy(dtype=np.int64)),
+                "df": pa.array(dfreq.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    empty_tagged = pa.table(
+        {"shard3": pa.array([], pa.int64()),
+         "sh": pa.array([], pa.uint64()),
+         "doc_id": pa.array([], pa.int64()),
+         "probe": pa.array([], pa.int8())}
+    )
+
+    def cut_prefix(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty_tagged
+        # rarest-first within each doc; prefix size floor((1-t)*n)+1
+        d = df.sort_values(["doc_id", "df", "sh"], ignore_index=True)
+        doc = d["doc_id"].to_numpy(dtype=np.int64)
+        first = np.empty(len(doc), dtype=bool)
+        first[0] = True
+        first[1:] = doc[1:] != doc[:-1]
+        rank = np.arange(len(doc)) - np.repeat(
+            np.flatnonzero(first), np.diff(np.append(np.flatnonzero(first), len(doc)))
+        )
+        n = d["n"].to_numpy(dtype=np.int64)
+        p = np.floor((1.0 - t) * n).astype(np.int64) + 1
+        sh = d["sh"].to_numpy()
+        return pa.table(
+            {
+                "shard3": pa.array((sh.astype(np.uint64) % np.uint64(P)).astype(np.int64)),
+                "sh": pa.array(sh, pa.uint64()),
+                "doc_id": pa.array(doc),
+                "probe": pa.array((rank < p).astype(np.int8)),
+            }
+        )
+
+    empty_pairs = pa.table({"pair_key": pa.array([], pa.int64())})
+
+    def gen_candidates(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty_pairs
+        sh = df["sh"].to_numpy().astype(np.uint64)
+        order = np.argsort(sh, kind="stable")
+        sh = sh[order]
+        doc = df["doc_id"].to_numpy(dtype=np.int64)[order]
+        probe = df["probe"].to_numpy()[order].astype(bool)
+        first = np.empty(len(sh), dtype=bool)
+        first[0] = True
+        first[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(sh))
+        out = []
+        dropped = 0
+        for s, e in zip(starts, ends):
+            if max_df is not None and e - s > max_df:
+                dropped += 1
+                continue
+            pr = doc[s:e][probe[s:e]]
+            if len(pr) == 0 or e - s < 2:
+                continue
+            al = doc[s:e]
+            a = np.repeat(pr, len(al))
+            b = np.tile(al, len(pr))
+            m = a != b
+            a, b = a[m], b[m]
+            out.append(
+                (np.minimum(a, b).astype(np.uint64) << np.uint64(32))
+                | np.maximum(a, b).astype(np.uint64)
+            )
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "containment_pairs: skipped %d shingles hotter than "
+                "max_df=%s (recall trade, see docstring)", dropped, max_df
+            )
+        if not out:
+            return empty_pairs
+        pk = np.unique(np.concatenate(out))
+        return pa.table({"pair_key": pa.array(pk.astype(np.int64))})
+
+    cands = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("shard2")
+        .map_groups(cut_prefix, batch_format="pandas")
+        .groupby("shard3")
+        .map_groups(gen_candidates, batch_format="pandas")
+    )
+
+    # --- verify: the jaccard_pairs tagged-union cogroup, plus a per-side
+    # tag (pside) so |sub| and |sup| are recoverable per pair ---
+    def emit_requests(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pair_key").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        a = (pk >> np.uint64(32)).astype(np.int64)
+        b = (pk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        doc = np.concatenate([a, b])
+        pk2 = np.concatenate([pk, pk]).astype(np.int64)
+        pside = np.concatenate(
+            [np.zeros(len(a), dtype=np.int8), np.ones(len(b), dtype=np.int8)]
+        )
+        return pa.table(
+            {
+                "shard": pa.array(doc % P),
+                "doc_id": pa.array(doc),
+                "pair_key": pa.array(pk2),
+                "text": pa.nulls(len(doc), pa.string()),
+                "side": pa.array(np.zeros(len(doc), dtype=np.int8)),
+                "pside": pa.array(pside),
+            }
+        )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "shard": pa.array(ids % P),
+                "doc_id": pa.array(ids),
+                "pair_key": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "text": batch.column("text"),
+                "side": pa.array(np.ones(len(ids), dtype=np.int8)),
+                "pside": pa.array(np.full(len(ids), -1, dtype=np.int8)),
+            }
+        )
+
+    empty_flat = pa.table(
+        {"shard2": pa.array([], pa.int64()),
+         "pair_key": pa.array([], pa.uint64()),
+         "sh": pa.array([], pa.uint64()),
+         "pside": pa.array([], pa.int8())}
+    )
+
+    def shingle_join(df: pd.DataFrame) -> pa.Table:
+        req = df[df["side"] == 0]
+        if len(req) == 0:
+            return empty_flat
+        txt = df[df["side"] == 1]
+        txt = txt[txt["doc_id"].isin(set(req["doc_id"].tolist()))]
+        doc_ids, parts, starts, lens = [], [], [], []
+        off = 0
+        for d, tx in zip(txt["doc_id"], txt["text"]):
+            sh = word_shingles(tx or "")
+            if len(sh) == 0:
+                continue  # no-shingle docs were never candidates
+            doc_ids.append(int(d))
+            parts.append(sh)
+            starts.append(off)
+            lens.append(len(sh))
+            off += len(sh)
+        if not parts:
+            return empty_flat
+        pool = np.concatenate(parts)
+        starts_a = np.array(starts, dtype=np.int64)
+        lens_a = np.array(lens, dtype=np.int64)
+        pos = pd.Index(doc_ids).get_indexer(req["doc_id"].to_numpy())
+        present = pos >= 0
+        pos = pos[present]
+        if len(pos) == 0:
+            return empty_flat
+        pk_req = req["pair_key"].to_numpy().astype(np.uint64)[present]
+        ps_req = req["pside"].to_numpy()[present]
+        total = lens_a[pos]
+        csum = np.cumsum(total)
+        gather = (
+            np.arange(int(csum[-1]), dtype=np.int64)
+            - np.repeat(csum - total, total)
+            + np.repeat(starts_a[pos], total)
+        )
+        return pa.table(
+            {
+                "shard2": pa.array(
+                    ((np.repeat(pk_req, total)) % np.uint64(P)).astype(np.int64)
+                ),
+                "pair_key": pa.array(np.repeat(pk_req, total), pa.uint64()),
+                "sh": pa.array(pool[gather], pa.uint64()),
+                "pside": pa.array(np.repeat(ps_req, total)),
+            }
+        )
+
+    empty_out = pd.DataFrame(
+        {"id_sub": pd.Series(dtype="int64"),
+         "id_sup": pd.Series(dtype="int64"),
+         "containment": pd.Series(dtype="float64")}
+    )
+
+    def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty_out
+        pk = df["pair_key"].to_numpy().astype(np.uint64)
+        sh = df["sh"].to_numpy().astype(np.uint64)
+        ps = df["pside"].to_numpy().astype(np.int8)
+        # dedupe (pk, sh, pside) triples: a pair candidate found in two
+        # shingle shards emits two request copies
+        order = np.lexsort((ps, sh, pk))
+        pk, sh, ps = pk[order], sh[order], ps[order]
+        keep = np.empty(len(pk), dtype=bool)
+        keep[0] = True
+        keep[1:] = (
+            (pk[1:] != pk[:-1]) | (sh[1:] != sh[:-1]) | (ps[1:] != ps[:-1])
+        )
+        pk, sh, ps = pk[keep], sh[keep], ps[keep]
+        # per pair: na / nb are per-side row counts (each side distinct);
+        # the intersection is the (pk, sh) duplicates — same lexsort trick
+        # as jaccard_pairs.verify_shard
+        dup = np.zeros(len(pk), dtype=bool)
+        dup[1:] = (pk[1:] == pk[:-1]) & (sh[1:] == sh[:-1])
+        pairs_u = np.unique(pk)
+        na = np.zeros(len(pairs_u), dtype=np.int64)
+        nb = np.zeros(len(pairs_u), dtype=np.int64)
+        inter = np.zeros(len(pairs_u), dtype=np.int64)
+        pu, c = np.unique(pk[ps == 0], return_counts=True)
+        na[np.searchsorted(pairs_u, pu)] = c
+        pu, c = np.unique(pk[ps == 1], return_counts=True)
+        nb[np.searchsorted(pairs_u, pu)] = c
+        pu, c = np.unique(pk[dup], return_counts=True)
+        inter[np.searchsorted(pairs_u, pu)] = c
+        a = (pairs_u >> np.uint64(32)).astype(np.int64)
+        b = (pairs_u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        rows = []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c_ab = inter / na
+            c_ba = inter / nb
+        m = (na > 0) & (c_ab >= t)
+        if m.any():
+            rows.append(pd.DataFrame(
+                {"id_sub": a[m], "id_sup": b[m],
+                 "containment": _rha(c_ab[m], 6)}
+            ))
+        m = (nb > 0) & (c_ba >= t)
+        if m.any():
+            rows.append(pd.DataFrame(
+                {"id_sub": b[m], "id_sup": a[m],
+                 "containment": _rha(c_ba[m], 6)}
+            ))
+        if not rows:
+            return empty_out
+        return pd.concat(rows, ignore_index=True)
+
+    requests = cands.map_batches(emit_requests, batch_format="pyarrow")
+    corpus = docs.map_batches(tag_docs, batch_format="pyarrow")
+    return (
+        requests.union(corpus)
+        .groupby("shard")
+        .map_groups(shingle_join, batch_format="pandas")
+        .groupby("shard2")
+        .map_groups(verify_shard, batch_format="pandas")
+    )
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Spherical k-means corpus clustering (the SemDeDup/curation
     primitive): fit on a bounded sample, assign streaming with broadcast
@@ -3989,6 +4333,7 @@ QUERIES = {
     "pmi_top20": q_pmi_top20,
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_cosine": q_knn_cosine,
     "knn_cosine_ivf": q_knn_cosine_ivf,
@@ -4258,6 +4603,36 @@ ORACLE = {
         JOIN cnt ca ON ca.doc_id = id_a
         JOIN cnt cb ON cb.doc_id = id_b
         WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+    """,
+    "containment_pairs": """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                             x -> x <> '') AS ws
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+            FROM d WHERE len(ws) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(ws, ' ') AS s FROM d
+            WHERE len(ws) > 0 AND len(ws) < 3)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a AS id_sub, id_b AS id_sup,
+               ROUND(i * 1.0 / ca.n, 6) AS containment
+        FROM inter JOIN cnt ca ON ca.doc_id = id_a
+        WHERE i * 1.0 / ca.n >= 0.9
+        UNION ALL
+        SELECT id_b AS id_sub, id_a AS id_sup,
+               ROUND(i * 1.0 / cb.n, 6) AS containment
+        FROM inter JOIN cnt cb ON cb.doc_id = id_b
+        WHERE i * 1.0 / cb.n >= 0.9
     """,
 }
 
@@ -4885,6 +5260,7 @@ from tiny_lingua_ray.pipelines.corpus_ext import (  # noqa: E402
     ORACLE_CORPUS,
     QUERIES_CORPUS,
     _dedup_clusters_oracle,
+    _dedup_keep_best_oracle,
     _dedup_keep_first_oracle,
 )
 
@@ -4892,6 +5268,7 @@ QUERIES.update(QUERIES_CORPUS)
 ORACLE.update(ORACLE_CORPUS)
 ORACLE["dedup_clusters"] = _dedup_clusters_oracle(ORACLE["jaccard_pairs"])
 ORACLE["dedup_keep_first"] = _dedup_keep_first_oracle(ORACLE["jaccard_pairs"])
+ORACLE["dedup_keep_best"] = _dedup_keep_best_oracle(ORACLE["jaccard_pairs"])
 
 # No DuckDB-version-sensitive ROUND(DOUBLE) may sit on the driver's hash
 # path (VERDICT r4 item 2) — rewrite every oracle to the FLOOR form that
@@ -4958,11 +5335,14 @@ _ORACLED_HEAD = [
     # round-3-checked entries re-promoted into the window
     "above_avg_events",
     "minhash_dedup",
-    "exact_dedup",
-    "paragraph_dedup",
     "edit_distance_pairs",
-    "simhash_pairs",
-    "pretraining_prep",
+    # round-5 additions take the window slots of four entries that were
+    # driver-green in BOTH r3 and r4 (exact_dedup, paragraph_dedup,
+    # simhash_pairs, pretraining_prep — all still oracled + CI-gated)
+    "containment_pairs",
+    "dedup_keep_best",
+    "boilerplate_purge",
+    "deterministic_shuffle",
 ]
 assert len(_ORACLED_HEAD) == 50 and len(set(_ORACLED_HEAD)) == 50
 assert all(k in QUERIES and k in ORACLE for k in _ORACLED_HEAD)

@@ -86,6 +86,28 @@ def char_shingles(
     )
 
 
+def word_shingles(text: str, k: int = 3) -> np.ndarray:
+    """FNV hashes of the unique k-WORD shingles of the lowercased text
+    (Broder's document shingling granularity).  Texts with 1..k-1 words
+    fall back to one shingle over the whole word sequence — the same
+    short-text convention as :func:`char_shingles` — and empty texts
+    yield no shingles.  Word shingles are far more corpus-distinctive
+    than char 5-grams on small-vocabulary text (measured on the sf0.01
+    synthetic corpus: char-5-gram median doc-frequency 31/500 docs vs
+    word-3-gram median 1), which is what keeps prefix-filter candidate
+    generation near-linear."""
+    ws = [w for w in (text or "").lower().split(" ") if w]
+    if not ws:
+        return np.empty(0, dtype=np.uint64)
+    if len(ws) < k:
+        seen = {" ".join(ws)}
+    else:
+        seen = {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+    return np.fromiter(
+        (fnv1a_64(s) for s in seen), dtype=np.uint64, count=len(seen)
+    )
+
+
 # Adaptive chunking bound for the vectorized sketch kernels: the 64 x U
 # permutation-value matrix for U unique shingles is 8 B each -> ~100 MB
 # transient per worker at this cap.
