@@ -671,3 +671,48 @@ def test_containment_pairs_planted(ray_session, tmp_path):
     r = out.iloc[0]
     assert (int(r["id_sub"]), int(r["id_sup"])) == (10, 20)
     assert r["containment"] == 1.0
+
+
+def test_containment_pairs_exact_boundary(ray_session, ddb, tmp_path):
+    """Containment EXACTLY 0.9 with |sh(sub)| = 10: the float-naive
+    prefix size floor((1.0-0.9)*10)+1 = 1 probes only sub's single
+    rarest shingle — which is engineered to be the one shingle sup does
+    NOT share (df=1 vs df=2 for the shared nine) — so a
+    one-short prefix loses the pair.  The predicate-derived prefix
+    (p = n - min{i : i/n >= t} + 1 = 2) must find it, and the full
+    result must hash-match the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiny_lingua_ray.pipelines.queries import ORACLE, QUERIES
+
+    a_words = [f"a{i}" for i in range(12)]  # 10 distinct trigrams
+    texts = [
+        " ".join(a_words),
+        " ".join(a_words[:11] + [f"b{i}" for i in range(30)]),
+        "totally unrelated third document content words",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    out = QUERIES["containment_pairs"](str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r["id_sub"]), int(r["id_sup"])) == (1, 2)
+    assert r["containment"] == 0.9
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    want = con.sql(ORACLE["containment_pairs"]).df()
+    assert canonical_hash(to_pandas(out)) == canonical_hash(want)

@@ -192,33 +192,20 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
-def q_dedup_keep_first(sf_dir: str):
-    """The ACTIONABLE dedup composite: materialize the deduped corpus.
-    Jaccard>=0.8 verified pairs -> connected components -> drop every
-    clustered doc except its representative (min doc_id in the
-    component); isolated docs survive untouched.  This is the operator a
-    training-data pipeline actually runs — pair/cluster queries are its
-    diagnostics.
-
-    Scale shape: only the VICTIM set (clustered non-representatives,
-    label < node) leaves the component stage — 8 B/row — and meets the
-    corpus in ONE tagged-union cogroup on ``doc_id % P`` (the anti-join
-    idiom, relational_ext.q_anti_join_inactive_customers).  No broadcast:
+def _corpus_minus_victims(sf_dir: str, victims, P: int):
+    """Anti-join a (``victim`` int64) Dataset against the corpus in ONE
+    tagged-union cogroup on ``doc_id % P`` (the anti-join idiom,
+    relational_ext.q_anti_join_inactive_customers) — the shared final
+    stage of q_dedup_keep_first and q_dedup_keep_best.  No broadcast:
     on boilerplate-heavy web text victims can be half the corpus.  Kept
-    rows carry (doc_id, lang) only; a real pipeline would semi-join text
-    back where it lives rather than shipping it through the anti-join."""
-    from tiny_lingua_ray.pipelines.queries import jaccard_pairs_dataset
-    from tiny_lingua_ray.stages.cluster import connected_components
-
-    P = _shards_for_table(sf_dir, "documents", lo=32)
-    labels = connected_components(
-        jaccard_pairs_dataset(sf_dir), num_shards=P
-    )
+    rows carry (doc_id, lang) only; a real pipeline would semi-join
+    text back where it lives rather than shipping it through the
+    anti-join."""
 
     def prep_victims(b: pa.Table) -> pa.Table:
-        node = b.column("node").to_numpy(zero_copy_only=False)
-        lab = b.column("label").to_numpy(zero_copy_only=False)
-        v = node[lab < node].astype(np.int64)
+        v = b.column("victim").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
         return pa.table(
             {
                 "shard": pa.array(v % P),
@@ -248,8 +235,8 @@ def q_dedup_keep_first(sf_dir: str):
 
     def anti_in_shard(df: pd.DataFrame) -> pa.Table:
         docs = df[df["side"] == 0]
-        victims = df.loc[df["side"] == 1, "key"]
-        keep = docs[~docs["key"].isin(victims)]
+        victims_k = df.loc[df["side"] == 1, "key"]
+        keep = docs[~docs["key"].isin(victims_k)]
         if len(keep) == 0:
             return empty
         return pa.table(
@@ -262,11 +249,43 @@ def q_dedup_keep_first(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
         prep_docs, batch_format="pyarrow"
     )
-    victims = labels.map_batches(prep_victims, batch_format="pyarrow")
     return (
-        docs.union(victims)
+        docs.union(victims.map_batches(prep_victims, batch_format="pyarrow"))
         .groupby("shard")
         .map_groups(anti_in_shard, batch_format="pandas")
+    )
+
+
+def q_dedup_keep_first(sf_dir: str):
+    """The ACTIONABLE dedup composite: materialize the deduped corpus.
+    Jaccard>=0.8 verified pairs -> connected components -> drop every
+    clustered doc except its representative (min doc_id in the
+    component); isolated docs survive untouched.  This is the operator a
+    training-data pipeline actually runs — pair/cluster queries are its
+    diagnostics.
+
+    Scale shape: only the VICTIM set (clustered non-representatives,
+    label < node) leaves the component stage — 8 B/row — into the
+    shared _corpus_minus_victims anti-join cogroup."""
+    from tiny_lingua_ray.pipelines.queries import jaccard_pairs_dataset
+    from tiny_lingua_ray.stages.cluster import connected_components
+
+    P = _shards_for_table(sf_dir, "documents", lo=32)
+    labels = connected_components(
+        jaccard_pairs_dataset(sf_dir), num_shards=P
+    )
+
+    def prep_victims(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        lab = b.column("label").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"victim": pa.array(node[lab < node].astype(np.int64))}
+        )
+
+    return _corpus_minus_victims(
+        sf_dir,
+        labels.map_batches(prep_victims, batch_format="pyarrow"),
+        P,
     )
 
 
@@ -350,14 +369,7 @@ def q_dedup_keep_best(sf_dir: str):
             }
         )
 
-    empty_victims = pa.table(
-        {
-            "shard3": pa.array([], pa.int64()),
-            "key": pa.array([], pa.int64()),
-            "lang": pa.array([], pa.string()),
-            "side": pa.array([], pa.int8()),
-        }
-    )
+    empty_victims = pa.table({"victim": pa.array([], pa.int64())})
 
     def pick_victims(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
@@ -371,45 +383,8 @@ def q_dedup_keep_best(sf_dir: str):
         first = np.empty(len(lab), dtype=bool)
         first[0] = True
         first[1:] = lab[1:] != lab[:-1]
-        v = d["node"].to_numpy(dtype=np.int64)[~first]
         return pa.table(
-            {
-                "shard3": pa.array(v % P),
-                "key": pa.array(v),
-                "lang": pa.nulls(len(v), pa.string()),
-                "side": pa.array(np.ones(len(v), dtype=np.int8)),
-            }
-        )
-
-    def prep_docs(b: pa.Table) -> pa.Table:
-        key = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        return pa.table(
-            {
-                "shard3": pa.array(key % P),
-                "key": pa.array(key),
-                "lang": b.column("lang"),
-                "side": pa.array(np.zeros(len(key), dtype=np.int8)),
-            }
-        )
-
-    empty_out = pa.table(
-        {"doc_id": pa.array([], pa.int64()),
-         "lang": pa.array([], pa.string())}
-    )
-
-    def anti_in_shard(df: pd.DataFrame) -> pa.Table:
-        docs = df[df["side"] == 0]
-        victims = df.loc[df["side"] == 1, "key"]
-        keep = docs[~docs["key"].isin(victims)]
-        if len(keep) == 0:
-            return empty_out
-        return pa.table(
-            {
-                "doc_id": pa.array(keep["key"].to_numpy(dtype=np.int64)),
-                "lang": pa.array(keep["lang"].tolist(), pa.string()),
-            }
+            {"victim": pa.array(d["node"].to_numpy(dtype=np.int64)[~first])}
         )
 
     members = labels.map_batches(prep_members, batch_format="pyarrow")
@@ -423,14 +398,7 @@ def q_dedup_keep_best(sf_dir: str):
         .groupby("shard2")
         .map_groups(pick_victims, batch_format="pandas")
     )
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
-        prep_docs, batch_format="pyarrow"
-    )
-    return (
-        docs.union(victims)
-        .groupby("shard3")
-        .map_groups(anti_in_shard, batch_format="pandas")
-    )
+    return _corpus_minus_victims(sf_dir, victims, P)
 
 
 # ---------------------------------------------------------------------------

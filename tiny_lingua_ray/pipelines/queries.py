@@ -1154,6 +1154,13 @@ def q_containment_pairs(sf_dir: str, t: float = 0.9, max_df: int | None = None):
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
+        # pair key packs two ids into a uint64 — enforced, not assumed
+        # (same contract as dedup._pairs_in_partition)
+        if ids and max(ids) >= (1 << 32):
+            raise ValueError(
+                "doc_id >= 2^32 cannot be packed into a 64-bit pair key; "
+                "switch pair_key to fnv1a_64(f'{a}:{b}')"
+            )
         texts = batch.column("text").to_pylist()
         parts, did, nn = [], [], []
         for i, txt in zip(ids, texts):
@@ -1226,7 +1233,19 @@ def q_containment_pairs(sf_dir: str, t: float = 0.9, max_df: int | None = None):
             np.flatnonzero(first), np.diff(np.append(np.flatnonzero(first), len(doc)))
         )
         n = d["n"].to_numpy(dtype=np.int64)
-        p = np.floor((1.0 - t) * n).astype(np.int64) + 1
+        # prefix size = (max misses of a passing pair) + 1, where the
+        # pass predicate is the FLOAT i/n >= t used by verify_shard and
+        # the oracle.  floor((1-t)*n)+1 computed in floating point is
+        # one short whenever (1-t)*n should be integral ((1.0-0.9)*10 =
+        # 0.9999...98), so derive it from the predicate itself:
+        # i_min = smallest i with i/n >= t, p = n - i_min + 1.
+        i_min = np.ceil(t * n).astype(np.int64)
+        lower = i_min - 1
+        down = (lower >= 0) & ((lower / n) >= t)
+        i_min[down] = lower[down]
+        up = (i_min / n) < t
+        i_min[up] += 1
+        p = n - i_min + 1
         sh = d["sh"].to_numpy()
         return pa.table(
             {
@@ -1926,6 +1945,39 @@ def q_zscore_outliers(sf_dir: str):
     )
 
 
+def _chunk20_batch(b: pa.Table, P: int, carry_source: bool = False) -> pa.Table:
+    """Shared stateless 20-word chunker (paragraph_dedup /
+    pretraining_prep / boilerplate_purge): (shard = hash(para) % P,
+    doc_id, pno, para[, source]).  The chunking convention ("paragraph"
+    = fixed 20-word chunk; matched by every consumer's oracle) lives
+    here ONCE."""
+    from tiny_lingua_ray.models.train import fnv1a_64_batch
+
+    W = 20
+    ids = b.column("doc_id").to_pylist()
+    texts = b.column("text").to_pylist()
+    srcs = b.column("source").to_pylist() if carry_source else None
+    did, pno, para, src = [], [], [], []
+    for r, (i, t) in enumerate(zip(ids, texts)):
+        ws = (t or "").split(" ")
+        for j in range(0, len(ws), W):
+            did.append(i)
+            pno.append(j // W)
+            para.append(" ".join(ws[j : j + W]))
+            if srcs is not None:
+                src.append(srcs[r])
+    h = fnv1a_64_batch(para)
+    cols = {
+        "shard": pa.array((h % np.uint64(P)).astype(np.int64)),
+        "doc_id": pa.array(did, pa.int64()),
+        "pno": pa.array(pno, pa.int64()),
+        "para": pa.array(para, pa.string()),
+    }
+    if carry_source:
+        cols["source"] = pa.array(src, pa.string())
+    return pa.table(cols)
+
+
 def _paragraph_dedup_ds(ds, carry_source: bool = False):
     """CCNet-style paragraph-level exact dedup with in-order document
     reassembly (shared by q_paragraph_dedup and q_pretraining_prep).
@@ -1943,33 +1995,10 @@ def _paragraph_dedup_ds(ds, carry_source: bool = False):
     ``carry_source`` threads the per-doc source string through all
     three stages so composites can partition downstream without a join.
     """
-    from tiny_lingua_ray.models.train import fnv1a_64_batch
-
-    W, P = 20, _shards_for(ds)
+    P = _shards_for(ds)
 
     def chunk(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        texts = b.column("text").to_pylist()
-        srcs = b.column("source").to_pylist() if carry_source else None
-        did, pno, para, src = [], [], [], []
-        for r, (i, t) in enumerate(zip(ids, texts)):
-            ws = (t or "").split(" ")
-            for j in range(0, len(ws), W):
-                did.append(i)
-                pno.append(j // W)
-                para.append(" ".join(ws[j : j + W]))
-                if srcs is not None:
-                    src.append(srcs[r])
-        h = fnv1a_64_batch(para)
-        cols = {
-            "shard": pa.array((h % np.uint64(P)).astype(np.int64)),
-            "doc_id": pa.array(did, pa.int64()),
-            "pno": pa.array(pno, pa.int64()),
-            "para": pa.array(para, pa.string()),
-        }
-        if carry_source:
-            cols["source"] = pa.array(src, pa.string())
-        return pa.table(cols)
+        return _chunk20_batch(b, P, carry_source)
 
     kept_cols = {
         "shard2": pa.int64(),
@@ -2052,36 +2081,18 @@ def q_boilerplate_purge(sf_dir: str):
     drop out (same rule as paragraph_dedup); survivors rebuild in pno
     order and carry ``n_dropped``.
 
-    Same two-exchange shape as _paragraph_dedup_ds: shard1 =
-    hash(chunk) % P puts every copy of a chunk in one shard (the
-    distinct-doc count is exact per shard, never merged); dropped rows
-    re-route to the doc shard as (doc_id, pno, kept=0) WITHOUT the
-    chunk string, so the second exchange ships text only for survivors.
+    Same two-exchange shape as _paragraph_dedup_ds (and the SAME
+    _chunk20_batch chunker): shard1 = hash(chunk) % P puts every copy
+    of a chunk in one shard (the distinct-doc count is exact per shard,
+    never merged); dropped rows re-route to the doc shard as (doc_id,
+    pno, kept=0) WITHOUT the chunk string, so the second exchange ships
+    text only for survivors.
     """
-    from tiny_lingua_ray.models.train import fnv1a_64_batch
-
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    W, P = 20, _shards_for(ds)
+    P = _shards_for(ds)
 
     def chunk(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        texts = b.column("text").to_pylist()
-        did, pno, para = [], [], []
-        for i, t in zip(ids, texts):
-            ws = (t or "").split(" ")
-            for j in range(0, len(ws), W):
-                did.append(i)
-                pno.append(j // W)
-                para.append(" ".join(ws[j : j + W]))
-        h = fnv1a_64_batch(para)
-        return pa.table(
-            {
-                "shard": pa.array((h % np.uint64(P)).astype(np.int64)),
-                "doc_id": pa.array(did, pa.int64()),
-                "pno": pa.array(pno, pa.int64()),
-                "para": pa.array(para, pa.string()),
-            }
-        )
+        return _chunk20_batch(b, P)
 
     empty_flagged = pa.table(
         {

@@ -1316,7 +1316,9 @@ def q_global_rank_docs(sf_dir: str):
     exclusive offsets on the driver; (4) each bucket sorts locally and
     adds its offset.  Skewed single values concentrate in one bucket —
     the documented trade; production would split ties by a secondary
-    range on doc_id."""
+    range on doc_id.  TWIN: queries.q_deterministic_shuffle reuses this
+    count->offset->per-bucket-rank mechanism (minus the splitter sample,
+    since md5 keys are uniform by construction) — keep fixes in sync."""
     import ray
 
     P = _shards_for_table(sf_dir, "documents")
