@@ -1139,14 +1139,17 @@ def q_containment_pairs(sf_dir: str, t: float = 0.9, max_df: int | None = None):
     the production knob for adversarial corpora, mirroring
     dedup.MAX_BUCKET.
 
-    Five linear exchanges, text shipped through exactly one (E4):
+    Six linear exchanges, text shipped through exactly one (E5):
     E1 flat (shingle, doc, n) rows cogroup on ``sh % P`` — each
     shingle's exact df is shard-local; E2 regroup on ``doc % P`` to cut
     each doc's df-ordered prefix; E3 probe rows meet the full index on
     ``sh % P`` and emit candidate pair keys (8 B, deduped in-shard);
-    E4/E5 the jaccard_pairs tagged-union verify cogroup, extended with
-    a per-side tag so |sub| and |sup| fall out of the same lexsort that
-    counts the intersection."""
+    E4 global pair distinct on ``pair_key % P`` (a pair found via
+    shingles in several shards would otherwise be re-verified — and its
+    docs' shingle lists re-shipped — once per shard); E5/E6 the
+    jaccard_pairs tagged-union verify cogroup, extended with a per-side
+    tag so |sub| and |sup| fall out of the same lexsort that counts the
+    intersection."""
     from tiny_lingua_ray.stages.dedup import word_shingles
 
     P = _shards_for_table(sf_dir, "documents")
@@ -1256,9 +1259,16 @@ def q_containment_pairs(sf_dir: str, t: float = 0.9, max_df: int | None = None):
             }
         )
 
-    empty_pairs = pa.table({"pair_key": pa.array([], pa.int64())})
+    empty_pairs = pa.table(
+        {"shard4": pa.array([], pa.int64()),
+         "pair_key": pa.array([], pa.int64())}
+    )
 
     def gen_candidates(df: pd.DataFrame) -> pa.Table:
+        # fully vectorized probe x index expansion: for every probe row,
+        # pair it with all rows of its shingle group (the same
+        # cumsum/gather segment trick as shingle_join — no per-shingle
+        # Python loop)
         if len(df) == 0:
             return empty_pairs
         sh = df["sh"].to_numpy().astype(np.uint64)
@@ -1269,37 +1279,58 @@ def q_containment_pairs(sf_dir: str, t: float = 0.9, max_df: int | None = None):
         first = np.empty(len(sh), dtype=bool)
         first[0] = True
         first[1:] = sh[1:] != sh[:-1]
+        gid = np.cumsum(first) - 1
         starts = np.flatnonzero(first)
-        ends = np.append(starts[1:], len(sh))
-        out = []
-        dropped = 0
-        for s, e in zip(starts, ends):
-            if max_df is not None and e - s > max_df:
-                dropped += 1
-                continue
-            pr = doc[s:e][probe[s:e]]
-            if len(pr) == 0 or e - s < 2:
-                continue
-            al = doc[s:e]
-            a = np.repeat(pr, len(al))
-            b = np.tile(al, len(pr))
-            m = a != b
-            a, b = a[m], b[m]
-            out.append(
-                (np.minimum(a, b).astype(np.uint64) << np.uint64(32))
-                | np.maximum(a, b).astype(np.uint64)
-            )
-        if dropped:
-            import logging
+        sizes = np.diff(np.append(starts, len(sh)))
+        ok = sizes >= 2
+        if max_df is not None:
+            hot = sizes > max_df
+            dropped = int(hot.sum())
+            ok &= ~hot
+            if dropped:
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "containment_pairs: skipped %d shingles hotter than "
-                "max_df=%s (recall trade, see docstring)", dropped, max_df
-            )
-        if not out:
+                logging.getLogger(__name__).warning(
+                    "containment_pairs: skipped %d shingles hotter than "
+                    "max_df=%s (recall trade, see docstring)",
+                    dropped, max_df,
+                )
+        probe_rows = np.flatnonzero(probe & ok[gid])
+        if len(probe_rows) == 0:
             return empty_pairs
-        pk = np.unique(np.concatenate(out))
-        return pa.table({"pair_key": pa.array(pk.astype(np.int64))})
+        g = gid[probe_rows]
+        ln = sizes[g]
+        csum = np.cumsum(ln)
+        gather = (
+            np.arange(int(csum[-1]), dtype=np.int64)
+            - np.repeat(csum - ln, ln)
+            + np.repeat(starts[g], ln)
+        )
+        a = np.repeat(doc[probe_rows], ln)
+        b = doc[gather]
+        m = a != b
+        a, b = a[m], b[m]
+        pk = np.unique(
+            (np.minimum(a, b).astype(np.uint64) << np.uint64(32))
+            | np.maximum(a, b).astype(np.uint64)
+        )
+        return pa.table(
+            {
+                "shard4": pa.array((pk % np.uint64(P)).astype(np.int64)),
+                "pair_key": pa.array(pk.astype(np.int64)),
+            }
+        )
+
+    def distinct_pairs(df: pd.DataFrame) -> pa.Table:
+        # global distinct: a pair found via shingles in several shards is
+        # otherwise re-verified (and its docs' shingle lists re-shipped)
+        # once per shard — up to P x the heaviest exchange on
+        # boilerplate-heavy text.  One tiny 8 B/row exchange removes it.
+        if len(df) == 0:
+            return pa.table({"pair_key": pa.array([], pa.int64())})
+        return pa.table(
+            {"pair_key": pa.array(np.unique(df["pair_key"].to_numpy()))}
+        )
 
     cands = (
         docs.map_batches(explode, batch_format="pyarrow")
@@ -1309,6 +1340,8 @@ def q_containment_pairs(sf_dir: str, t: float = 0.9, max_df: int | None = None):
         .map_groups(cut_prefix, batch_format="pandas")
         .groupby("shard3")
         .map_groups(gen_candidates, batch_format="pandas")
+        .groupby("shard4")
+        .map_groups(distinct_pairs, batch_format="pandas")
     )
 
     # --- verify: the jaccard_pairs tagged-union cogroup, plus a per-side
@@ -2654,15 +2687,12 @@ def q_deterministic_shuffle(sf_dir: str):
         }
     )
 
+    from tiny_lingua_ray.stages.partitioning import exclusive_bucket_offsets
+
     tagged = docs.map_batches(prep, batch_format="pyarrow").materialize()
-    counts = tagged.groupby("bucket").count().to_pandas()
-    if len(counts) == 0:  # empty corpus: column-less frame, typed empty out
+    off_ref = exclusive_bucket_offsets(tagged)
+    if off_ref is None:  # empty corpus: typed empty out
         return rd.from_arrow(empty)
-    counts = counts.sort_values("bucket")
-    counts["offset"] = counts["count()"].cumsum() - counts["count()"]
-    off_ref = ray.put(
-        dict(zip(counts["bucket"].astype(int), counts["offset"].astype(int)))
-    )
 
     def rank_in_bucket(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:

@@ -1316,9 +1316,10 @@ def q_global_rank_docs(sf_dir: str):
     exclusive offsets on the driver; (4) each bucket sorts locally and
     adds its offset.  Skewed single values concentrate in one bucket —
     the documented trade; production would split ties by a secondary
-    range on doc_id.  TWIN: queries.q_deterministic_shuffle reuses this
-    count->offset->per-bucket-rank mechanism (minus the splitter sample,
-    since md5 keys are uniform by construction) — keep fixes in sync."""
+    range on doc_id.  TWIN: queries.q_deterministic_shuffle shares the
+    count->offset scaffold (partitioning.exclusive_bucket_offsets; it
+    skips the splitter sample since md5 keys are uniform by
+    construction)."""
     import ray
 
     P = _shards_for_table(sf_dir, "documents")
@@ -1371,16 +1372,11 @@ def q_global_rank_docs(sf_dir: str):
             }
         )
 
-    tagged = docs.map_batches(bucketize, batch_format="pyarrow").materialize()
+    from tiny_lingua_ray.stages.partitioning import exclusive_bucket_offsets
 
-    counts = (
-        tagged.groupby("bucket").count().to_pandas().sort_values("bucket")
-    )
-    counts["offset"] = counts["count()"].cumsum() - counts["count()"]
-    offsets = dict(
-        zip(counts["bucket"].astype(int), counts["offset"].astype(int))
-    )
-    off_ref = ray.put(offsets)
+    tagged = docs.map_batches(bucketize, batch_format="pyarrow").materialize()
+    off_ref = exclusive_bucket_offsets(tagged)
+    assert off_ref is not None  # n_total > 0 checked above
 
     empty = pa.table(
         {"doc_id": pa.array([], pa.int64()),

@@ -103,9 +103,7 @@ def word_shingles(text: str, k: int = 3) -> np.ndarray:
         seen = {" ".join(ws)}
     else:
         seen = {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
-    return np.fromiter(
-        (fnv1a_64(s) for s in seen), dtype=np.uint64, count=len(seen)
-    )
+    return fnv1a_64_batch(list(seen))
 
 
 # Adaptive chunking bound for the vectorized sketch kernels: the 64 x U

@@ -202,3 +202,25 @@ def salted_map_groups(
         phase1, batch_format="pandas"
     )
     return partials.groupby(key).map_groups(merge_fn, batch_format="pandas")
+
+
+def exclusive_bucket_offsets(tagged, bucket_col: str = "bucket"):
+    """Exact exclusive row offsets per bucket of an already-bucketed
+    Dataset — the shared scaffold of every distributed exact-rank
+    operator (relational_ext.q_global_rank_docs,
+    queries.q_deterministic_shuffle): tiny groupby-count -> cumsum,
+    broadcast once.  Returns a ray ObjectRef to a {bucket: offset}
+    dict, or None when the Dataset is empty (Ray's empty aggregate is a
+    column-less frame, so the caller must emit its typed empty)."""
+    import ray
+
+    counts = tagged.groupby(bucket_col).count().to_pandas()
+    if len(counts) == 0:
+        return None
+    counts = counts.sort_values(bucket_col)
+    counts["offset"] = counts["count()"].cumsum() - counts["count()"]
+    return ray.put(
+        dict(
+            zip(counts[bucket_col].astype(int), counts["offset"].astype(int))
+        )
+    )
