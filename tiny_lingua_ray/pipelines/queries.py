@@ -1152,7 +1152,13 @@ def q_containment_pairs(sf_dir: str, t: float = 0.9, max_df: int | None = None):
     intersection."""
     from tiny_lingua_ray.stages.dedup import word_shingles
 
-    P = _shards_for_table(sf_dir, "documents")
+    # The exchanges carry the EXPLODED shingle stream (~1 row per word,
+    # 24-32 B each — ~6-8x the table's on-disk bytes), and P bounds the
+    # reduce-side parallelism of all six of them: the default 16 MB/16-
+    # shard table derivation left half of 32 CPUs idle per exchange
+    # (measured: 100k-doc scaling median 0.65).  Derive from the
+    # exploded volume with a floor of 2x a 32-way node.
+    P = _shards_for_table(sf_dir, "documents", target_bytes=2 << 20, lo=64)
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=32)
 
     def explode(batch: pa.Table) -> pa.Table:
